@@ -1,0 +1,128 @@
+"""YOLO loss engine — dense, masked, fully vectorized.
+
+Replaces the reference's python-level ``batch_size × n_heads`` loop
+(model/_base.py:155-212) with one fused masked computation per head. The
+numerics reproduce the reference exactly:
+
+per sample i, per head h (reference :163-192):
+  bbox  += bbox_w  * bbox_loss(decoded[pos], built_target[pos])    # masked MEAN
+  obj   += objectness_w * obj_scales_w[h] * BCE(p_obj[pos], iou * t_obj[pos])
+  obj   += no_obj_w * BCE(p_obj[~pos], t_obj[~pos])
+totals are summed over heads and samples, then divided by batch_size.
+
+The masked means are per-(sample, head) — positive-cell counts differ per
+sample, so plain global means would NOT match; we reduce with per-sample
+mask sums instead.
+
+IoU soft labels (utils/postprocess.py:48-82): IoU between the decoded
+prediction (w/h scaled by grid-unit anchors in 'mse' mode) and the *raw* grid
+target at each positive cell, with gradients stopped (the reference uses
+``.detach().clone()``).
+"""
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_convert, box_iou_elementwise, complete_box_iou
+from .decode import add_grid_offsets, decode_predictions, normalize_target_wh
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise binary cross-entropy on logits (numerically stable,
+    same formula as torch F.binary_cross_entropy_with_logits)."""
+    return (jnp.clip(logits, 0) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+class LossBreakdown(NamedTuple):
+    total: jnp.ndarray
+    bbox: jnp.ndarray
+    obj: jnp.ndarray
+
+
+def _masked_mean_per_sample(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of x over all non-batch dims where mask, per sample → (B,).
+
+    x: (B, ...); mask broadcastable to x. Guarded against empty masks
+    (count clamped to 1 — the reference guarantees ≥1 positive cell per
+    sample per head via the best-anchor fallback)."""
+    axes = tuple(range(1, x.ndim))
+    num = jnp.sum(jnp.where(mask, x, 0.0), axis=axes)
+    den = jnp.sum(jnp.broadcast_to(mask, x.shape).astype(x.dtype), axis=axes)
+    return num / jnp.maximum(den, 1.0)
+
+
+def yolo_loss(
+    outs: Sequence,  # list of DetectionResults-like (bbox, obj) per head
+    target_grids: Sequence[jnp.ndarray],  # (B, A, S, S, 5) per head
+    anchors: jnp.ndarray,  # (H, A, 2) in pixels
+    head_scales: Sequence[int],
+    obj_scales_w: Sequence[float],
+    bbox_w: float,
+    objectness_w: float,
+    no_obj_w: float,
+    bbox_loss_fn: str = "mse",
+) -> LossBreakdown:
+    """Compute the total YOLO loss for all heads; mirrors
+    ``YOLOHead.compute_metrics`` (reference model/_base.py:155-212)."""
+    anchors = jnp.asarray(anchors, jnp.float32)
+    batch = outs[0].obj.shape[0]
+    bbox_losses = jnp.zeros((batch,), jnp.float32)
+    obj_losses = jnp.zeros((batch,), jnp.float32)
+
+    for h, (out, grid) in enumerate(zip(outs, target_grids)):
+        scaled_anchors = anchors[h] / head_scales[h]  # (A, 2) grid units
+
+        p_bbox = out.bbox.astype(jnp.float32)  # (B, A, S, S, 4)
+        p_obj = out.obj.astype(jnp.float32)[..., 0]  # (B, A, S, S)
+        t_obj = grid[..., 0]
+        t_bbox_raw = grid[..., 1:5]
+        pos = t_obj == 1.0
+
+        decoded = decode_predictions(p_bbox, scaled_anchors, bbox_loss_fn)
+
+        # --- IoU soft labels (stop-grad) --------------------------------
+        iou_pred = jax.lax.stop_gradient(decoded)
+        if bbox_loss_fn == "mse":
+            # scale w/h into grid units before IoU
+            # (reference utils/postprocess.py:65-66)
+            wh = iou_pred[..., 2:] * scaled_anchors[:, None, None, :]
+            iou_pred = jnp.concatenate([iou_pred[..., :2], wh], axis=-1)
+        ious = box_iou_elementwise(
+            box_convert(iou_pred, "cxcywh", "xyxy"),
+            box_convert(t_bbox_raw, "cxcywh", "xyxy"))
+
+        # --- build training target --------------------------------------
+        if bbox_loss_fn == "mse":
+            t_built = normalize_target_wh(t_bbox_raw, scaled_anchors)
+        else:
+            t_built = add_grid_offsets(t_bbox_raw)
+
+        # --- bbox loss (masked mean per sample) --------------------------
+        if bbox_loss_fn == "mse":
+            sq = (decoded - t_built) ** 2  # (B, A, S, S, 4)
+            per_sample = _masked_mean_per_sample(sq, pos[..., None])
+        else:
+            ciou_l = 1.0 - complete_box_iou(
+                box_convert(decoded, "cxcywh", "xyxy"),
+                box_convert(t_built, "cxcywh", "xyxy"))
+            per_sample = _masked_mean_per_sample(ciou_l, pos)
+        bbox_losses = bbox_losses + bbox_w * per_sample
+
+        # --- objectness loss ---------------------------------------------
+        soft = jax.lax.stop_gradient(ious) * t_obj
+        bce = bce_with_logits(p_obj, soft)
+        obj_losses = obj_losses + (
+            objectness_w * obj_scales_w[h]
+            * _masked_mean_per_sample(bce, pos))
+
+        bce_neg = bce_with_logits(p_obj, t_obj)  # t_obj == 0 on ~pos
+        obj_losses = obj_losses + no_obj_w * _masked_mean_per_sample(
+            bce_neg, ~pos)
+
+    bbox_total = jnp.mean(bbox_losses)
+    obj_total = jnp.mean(obj_losses)
+    return LossBreakdown(total=bbox_total + obj_total,
+                         bbox=bbox_total, obj=obj_total)

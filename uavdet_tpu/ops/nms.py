@@ -1,0 +1,71 @@
+"""Fixed-shape NMS — jittable replacement for ``torchvision.ops.nms``.
+
+The reference calls dynamic-shape torchvision NMS once per sample inside the
+AP branch (model/_base.py:203, iou_threshold=0.5). XLA needs static shapes,
+so this implementation:
+
+  1. sorts candidates by score (descending, stable — same tie-breaking as
+     torchvision: lower index wins on equal scores),
+  2. computes the full pairwise IoU matrix once (one fused O(N²) block —
+     VPU-friendly, no data-dependent shapes),
+  3. runs the greedy suppression recurrence with ``lax.fori_loop`` over the
+     sorted order: a box survives iff no higher-scoring *surviving* box
+     overlaps it with IoU > threshold (strict >, matching torchvision).
+
+Returns indices into the input (padded with -1), sorted by score, plus the
+survivor mask — both fixed-shape.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_iou_pairwise
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.5,
+        max_keep: int | None = None):
+    """Greedy NMS on xyxy boxes.
+
+    boxes: (N, 4), scores: (N,). Padding candidates should carry score=-inf.
+    → (keep_idx: (K,) int32 padded with -1, keep_mask_sorted: (N,) bool,
+       order: (N,) int32).
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores, stable=True)
+    boxes_s = boxes[order]
+
+    iou = box_iou_pairwise(boxes_s, boxes_s)  # (N, N)
+    suppress_candidate = iou > iou_threshold
+    # only higher-ranked (earlier) boxes can suppress
+    tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # [i, j]: j < i ranked higher? rows=victim
+    # suppressors[i, j] True if j (higher rank, j < i) overlaps i
+    suppressors = suppress_candidate & tri
+
+    def body(i, alive):
+        # if box i is alive it kills its overlaps; recurrence must be
+        # sequential because a suppressed box cannot suppress others.
+        kill = suppressors[:, i] & alive[i]
+        return alive & ~kill
+
+    alive = jax.lax.fori_loop(0, n, body, jnp.ones((n,), dtype=bool))
+    # padding (score = -inf) is never a real detection
+    alive = alive & jnp.isfinite(scores[order])
+
+    k = n if max_keep is None else max_keep
+    # stable-sort alive-first to collect surviving indices at the front
+    rank = jnp.where(alive, jnp.arange(n), n)
+    pick = jnp.argsort(rank, stable=True)[:k]
+    keep_idx = jnp.where(alive[pick], order[pick], -1)
+    return keep_idx, alive, order
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_keep"))
+def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                iou_threshold: float = 0.5, max_keep: int = 300):
+    """vmap'd NMS over a batch: boxes (B, N, 4), scores (B, N).
+
+    → (keep_idx (B, K), alive (B, N), order (B, N))."""
+    return jax.vmap(lambda b, s: nms(b, s, iou_threshold, max_keep))(
+        boxes, scores)
