@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment force-injects the 'axon' TPU platform regardless of
+# JAX_PLATFORMS, so pin the platform via config (must run before backend
+# init). Tests run on an 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # XLA's DEFAULT matmul/conv precision is bf16-like even on CPU; tests compare
 # against f32 oracles, so pin full f32 accumulation for determinism.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,137 @@
+"""mAP tests — hand-computed golden cases for COCO 101-point AP."""
+
+import numpy as np
+import pytest
+
+from uavdet_tpu.ops.map import MeanAveragePrecision, calculate_ap
+
+
+def _box(cx, cy, w, h):
+    return [cx, cy, w, h]  # cxcywh
+
+
+def test_perfect_detection():
+    m = MeanAveragePrecision()
+    m.update([_box(50, 50, 20, 20)], [0.9], [_box(50, 50, 20, 20)])
+    out = m.compute()
+    assert out["map"] == pytest.approx(1.0)
+    assert out["map_50"] == pytest.approx(1.0)
+    assert out["map_75"] == pytest.approx(1.0)
+
+
+def test_miss_gives_zero():
+    m = MeanAveragePrecision()
+    m.update([_box(200, 200, 10, 10)], [0.9], [_box(50, 50, 20, 20)])
+    out = m.compute()
+    assert out["map"] == pytest.approx(0.0)
+
+
+def test_half_iou_boxes():
+    # det shifted so IoU ~ 0.58: TP at thr<=0.55, FP above
+    gt = _box(50, 50, 20, 20)
+    det = _box(55, 50, 20, 20)  # overlap 15x20=300, union 500 → IoU 0.6
+    m = MeanAveragePrecision()
+    m.update([det], [0.9], [gt])
+    out = m.compute()
+    # thresholds 0.5, 0.55, 0.6 pass (IoU≥thr), 0.65+ fail → 3/10
+    assert out["map_50"] == pytest.approx(1.0)
+    assert out["map_75"] == pytest.approx(0.0)
+    assert out["map"] == pytest.approx(0.3)
+
+
+def test_precision_recall_interpolation():
+    # 2 GT, 3 dets: hit(0.9), miss(0.8), hit(0.7)
+    gts = [_box(50, 50, 20, 20), _box(150, 150, 20, 20)]
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update(
+        [gts[0], _box(300, 300, 20, 20), gts[1]],
+        [0.9, 0.8, 0.7],
+        gts)
+    out = m.compute()
+    # PR points: r=0.5 p=1.0; r=0.5 p=0.5; r=1.0 p=2/3
+    # envelope: p(r<=0.5)=1.0, p(0.5<r<=1.0)=2/3
+    # 101-pt: 51 points at 1.0, 50 at 2/3
+    want = (51 * 1.0 + 50 * (2 / 3)) / 101
+    assert out["map_50"] == pytest.approx(want, abs=1e-6)
+
+
+def test_score_ordering_matters():
+    # same boxes, FP ranked above the TP → precision at recall drops
+    gt = [_box(50, 50, 20, 20)]
+    m1 = MeanAveragePrecision(iou_thresholds=[0.5])
+    m1.update([gt[0], _box(300, 300, 10, 10)], [0.9, 0.1], gt)
+    m2 = MeanAveragePrecision(iou_thresholds=[0.5])
+    m2.update([gt[0], _box(300, 300, 10, 10)], [0.1, 0.9], gt)
+    a1, a2 = m1.compute()["map_50"], m2.compute()["map_50"]
+    assert a1 == pytest.approx(1.0)
+    assert a2 < a1
+    # FP first: PR = (r=0,p=0), (r=1,p=0.5); COCO envelope takes max
+    # precision at recall ≥ r → 0.5 at every recall point
+    assert a2 == pytest.approx(0.5, abs=1e-6)
+
+
+def test_each_gt_matched_once():
+    # two dets on one GT: second is FP
+    gt = [_box(50, 50, 20, 20)]
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([gt[0], gt[0]], [0.9, 0.8], gt)
+    out = m.compute()
+    # recall 1 at det1 (p=1), det2 FP (p=0.5) → interp: all 1.0
+    assert out["map_50"] == pytest.approx(1.0)
+
+
+def test_area_buckets():
+    m = MeanAveragePrecision()
+    m.update([_box(50, 50, 10, 10)], [0.9], [_box(50, 50, 10, 10)])  # small
+    out = m.compute()
+    assert out["map_small"] == pytest.approx(1.0)
+    assert out["map_medium"] == -1.0  # no medium GT
+    assert out["map_large"] == -1.0
+
+
+def test_multi_image_accumulation():
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([_box(50, 50, 20, 20)], [0.9], [_box(50, 50, 20, 20)])
+    m.update([_box(300, 300, 10, 10)], [0.95], [_box(50, 50, 20, 20)])
+    out = m.compute()
+    # dataset-level: FP@0.95, TP@0.9, 2 GT → rec 0.5, interp below
+    want = (51 * 0.5 + 0) / 101
+    assert out["map_50"] == pytest.approx(want, abs=0.01)
+
+
+def test_calculate_ap_wrapper():
+    out = calculate_ap([_box(10, 10, 4, 4)], [0.8], [_box(10, 10, 4, 4)])
+    assert out["map"] == pytest.approx(1.0)
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("torch", reason="torch needed"),
+    reason="torch missing")
+def test_against_torchmetrics_if_available():
+    try:
+        from torchmetrics.detection import MeanAveragePrecision as TMAP
+    except ImportError:
+        pytest.skip("torchmetrics not available")
+    import torch
+    rng = np.random.default_rng(3)
+    ours = MeanAveragePrecision()
+    theirs = TMAP(box_format="cxcywh",
+                  iou_thresholds=[0.5 + 0.05 * i for i in range(10)],
+                  max_detection_thresholds=[300] * 3)
+    for _ in range(4):
+        n_det, n_gt = 8, 3
+        det = rng.uniform(20, 200, size=(n_det, 4))
+        det[:, 2:] = rng.uniform(5, 60, size=(n_det, 2))
+        gt = rng.uniform(20, 200, size=(n_gt, 4))
+        gt[:, 2:] = rng.uniform(5, 60, size=(n_gt, 2))
+        sc = rng.uniform(size=n_det)
+        ours.update(det, sc, gt)
+        theirs.update(
+            [dict(boxes=torch.tensor(det), scores=torch.tensor(sc),
+                  labels=torch.ones(n_det, dtype=torch.int64))],
+            [dict(boxes=torch.tensor(gt),
+                  labels=torch.ones(n_gt, dtype=torch.int64))])
+    got = ours.compute()
+    want = theirs.compute()
+    assert got["map"] == pytest.approx(float(want["map"]), abs=1e-3)
+    assert got["map_50"] == pytest.approx(float(want["map_50"]), abs=1e-3)

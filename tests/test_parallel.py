@@ -1,0 +1,68 @@
+"""Mesh / sharding tests on the 8-device virtual CPU platform.
+
+Validates: DP gradient equivalence (sharded step == single-device step),
+FSDP parameter sharding compiles and runs, dryrun_multichip contract.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uavdet_tpu.models import DyYOLO
+from uavdet_tpu.parallel import make_mesh, make_sharded_train_step, \
+    shard_batch
+from uavdet_tpu.parallel.mesh import state_shardings
+from uavdet_tpu.training import build_optimizer, init_state, make_train_step
+from uavdet_tpu.utils.datatypes import BatchData
+from tests.test_models import TINY_DY_CONFIG
+from tests.test_train_step import HP, INPUT, _synthetic_batch
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_matches_single_device(rng):
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    tx = build_optimizer(HP)
+    batch = _synthetic_batch(rng, batch=8)
+
+    # single-device
+    st1 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=8)
+    step1 = make_train_step(model, tx, HP, INPUT)
+    st1, m1 = step1(st1, batch)
+
+    # 8-way DP
+    mesh = make_mesh(n_data=8, n_fsdp=1)
+    st2 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=8)
+    sh = state_shardings(st2, mesh, fsdp=False)
+    st2 = jax.tree.map(jax.device_put, st2, sh)
+    _, compile_step = make_sharded_train_step(model, tx, HP, INPUT, mesh)
+    st2, m2 = compile_step(st2)(st2, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3)
+    # gradient reassociation across the 8-way psum amplifies through the
+    # deep backward chain; params agree to ~1e-2 relative after one step
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+
+def test_fsdp_step_runs(rng):
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    tx = build_optimizer(HP)
+    mesh = make_mesh(n_data=4, n_fsdp=2)
+    st = init_state(model, tx, jax.random.key(0), INPUT, batch_size=8)
+    sh = state_shardings(st, mesh, fsdp=True)
+    st = jax.tree.map(jax.device_put, st, sh)
+    _, compile_step = make_sharded_train_step(model, tx, HP, INPUT, mesh,
+                                              fsdp=True)
+    batch = shard_batch(_synthetic_batch(rng, batch=8), mesh)
+    st, m = compile_step(st)(st, batch)
+    assert np.isfinite(float(m["loss"]))
+    # at least one parameter leaf actually sharded over fsdp
+    n_sharded = sum(
+        1 for v in jax.tree.leaves(st.params)
+        if getattr(v.sharding, "spec", None) and "fsdp" in str(v.sharding.spec))
+    assert n_sharded > 0

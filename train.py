@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Stage 2: train (reference train.py).
+
+Reads params.yaml (no CLI args), loads the stage-1 manifests, dispatches the
+model by ``model.name``, trains with the configured trainer settings, writes
+DVCLive-format metrics (dvclive/metrics.json + plots tsv) and best/last
+checkpoints under train.checkpoint.dir.
+"""
+
+import numpy as np
+
+from uavdet_tpu.data import DataPipeline, load_manifest
+from uavdet_tpu.data.remote import make_filesystem
+from uavdet_tpu.training import MetricsWriter, Trainer
+from uavdet_tpu.utils.config import load_params
+from uavdet_tpu.utils.seeding import seed_everything
+
+
+def train(config, train_pipe, val_pipe):
+    trainer = Trainer(config, train_pipe, val_pipe,
+                      metrics=MetricsWriter("dvclive"))
+    final = trainer.fit()
+    print({k: round(v, 5) if isinstance(v, float) else v
+           for k, v in final.items()})
+    return final
+
+
+def main():
+    config = load_params("params.yaml")
+    if config.train.seed:
+        seed_everything(int(config.train.seed))
+
+    ds = config.dataset
+    fs = make_filesystem(ds.root_dir, bool(ds.remote))
+    input_size = int(ds.image_size[0])
+    seed = int(config.train.seed or 11)
+
+    train_pipe = DataPipeline(
+        load_manifest(ds.train_loader_path), input_size=input_size,
+        batch_size=int(ds.batch_size), train=True, seed=seed,
+        mosaic=bool(ds.mosaic), fs=fs)
+    print("Train manifest loaded...")
+    val_pipe = DataPipeline(
+        load_manifest(ds.val_loader_path), input_size=input_size,
+        batch_size=int(ds.batch_size), train=False, seed=seed, fs=fs)
+    print("Validation manifest loaded...")
+
+    train(config, train_pipe, val_pipe)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""End-to-end jitted inference: preproc → forward → decode → NMS.
+
+This is the BASELINE.json north-star pipeline (fps/chip at 640px). The
+whole chain is ONE jitted XLA program with static shapes:
+
+  1. preprocess: uint8 frames → resize (bilinear) → [0,1] float → compute
+     dtype (bf16 on TPU),
+  2. model forward (flax apply, batch_stats frozen),
+  3. decode every head to absolute-pixel xyxy + sigmoid scores
+     (reference model/_base.py:214-248; in 'mse' mode the reference's AP
+     path never adds grid/anchor terms — here absolute boxes are produced
+     for BOTH modes, since cell-relative boxes are meaningless for NMS),
+  4. per-image top-k candidate pre-selection (static K) and greedy NMS at
+     IoU 0.5 (reference :203), keeping max_det=300 (utils/metrics.py:97).
+"""
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.decode import decode_predictions
+from .ops.nms import nms
+
+
+class Detections(NamedTuple):
+    """Fixed-shape detection results; invalid slots have score == 0 and
+    box == 0."""
+
+    boxes: jnp.ndarray   # (B, max_det, 4) xyxy pixels
+    scores: jnp.ndarray  # (B, max_det)
+    valid: jnp.ndarray   # (B, max_det) bool
+
+
+def preprocess(images: jnp.ndarray, input_size: int,
+               compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """uint8/float NHWC frames → (B, S, S, C) in [0,1], compute dtype.
+
+    Replaces the reference's host-side albumentations Resize+ToFloat
+    (prepare_dataloader.py:20-24) with an on-device op that XLA fuses into
+    the first conv's input pipeline.
+    """
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    b, h, w, c = x.shape
+    if (h, w) != (input_size, input_size):
+        x = jax.image.resize(x, (b, input_size, input_size, c), "bilinear")
+    return x.astype(compute_dtype)
+
+
+def decode_all_heads(outs, anchors: np.ndarray, head_scales: Sequence[int],
+                     bbox_loss_fn: str = "mse"):
+    """Flatten per-head predictions to absolute-pixel xyxy + scores.
+
+    → boxes (B, N, 4), scores (B, N) with N = Σ_h A·S_h²."""
+    all_boxes, all_scores = [], []
+    for h, out in enumerate(outs):
+        scale = head_scales[h]
+        sa = jnp.asarray(anchors[h], jnp.float32) / scale  # grid units
+        p = out.bbox.astype(jnp.float32)
+        dec = decode_predictions(p, sa, bbox_loss_fn)  # cxcywh
+        if bbox_loss_fn != "ciou":
+            # add the grid/anchor terms ('ciou' decode already has them)
+            hh, ww = p.shape[-3], p.shape[-2]
+            gx = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 1)
+            gy = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 0)
+            dec = jnp.stack([
+                dec[..., 0] + gx,
+                dec[..., 1] + gy,
+                dec[..., 2] * sa[:, None, None, 0],
+                dec[..., 3] * sa[:, None, None, 1],
+            ], axis=-1)
+        dec = dec * scale  # grid units → pixels
+        cx, cy, w_, h_ = (dec[..., i] for i in range(4))
+        boxes = jnp.stack([cx - w_ / 2, cy - h_ / 2,
+                           cx + w_ / 2, cy + h_ / 2], axis=-1)
+        b = boxes.shape[0]
+        all_boxes.append(boxes.reshape(b, -1, 4))
+        all_scores.append(
+            jax.nn.sigmoid(out.obj.astype(jnp.float32)[..., 0]).reshape(
+                b, -1))
+    return (jnp.concatenate(all_boxes, axis=1),
+            jnp.concatenate(all_scores, axis=1))
+
+
+def make_detector(model, hparams, input_size: int,
+                  score_threshold: float = 0.001,
+                  nms_iou: float = 0.5, pre_nms_topk: int = 512,
+                  max_det: int = 300, compute_dtype=jnp.bfloat16):
+    """Build the jitted end-to-end detector.
+
+    Returns ``detect(variables, images) -> Detections``; ``images`` may be
+    uint8 at native resolution (preproc fused in).
+    """
+    anchors = np.asarray(hparams.anchors, np.float32)
+    bbox_loss_fn = str(hparams.bbox_loss_fn)
+
+    @jax.jit
+    def detect(variables, images) -> Detections:
+        x = preprocess(images, input_size, compute_dtype)
+        outs = model.apply(variables, x, train=False)
+        scales = tuple(input_size // o.obj.shape[2] for o in outs)
+        boxes, scores = decode_all_heads(outs, anchors, scales, bbox_loss_fn)
+        scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
+
+        def per_image(bx, sc):
+            k = min(pre_nms_topk, sc.shape[0])
+            top_sc, top_i = jax.lax.top_k(sc, k)
+            top_bx = bx[top_i]
+            keep_idx, alive, order = nms(top_bx, top_sc, nms_iou, max_det)
+            valid = keep_idx >= 0
+            safe = jnp.maximum(keep_idx, 0)
+            out_b = jnp.where(valid[:, None], top_bx[safe], 0.0)
+            out_s = jnp.where(valid, top_sc[safe], 0.0)
+            return out_b, out_s, valid
+
+        out_b, out_s, valid = jax.vmap(per_image)(boxes, scores)
+        return Detections(boxes=out_b, scores=out_s, valid=valid)
+
+    return detect

@@ -15,9 +15,10 @@ from .interpreter import YOLOInterpreter
 class BaselineModel(nn.Module):
     layer_config: Tuple[Any, ...]
     n_anchors: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return YOLOInterpreter(
             self.layer_config, n_anchors=self.n_anchors,
-            name="net")(x, train)
+            dtype=self.dtype, name="net")(x, train)

@@ -17,9 +17,11 @@ class DyYOLO(nn.Module):
     layer_config: Tuple[Any, ...]
     attn_temperature: float = 30.0
     n_anchors: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return YOLOInterpreter(
             self.layer_config, n_anchors=self.n_anchors,
-            attn_temperature=self.attn_temperature, name="net")(x, train)
+            attn_temperature=self.attn_temperature,
+            dtype=self.dtype, name="net")(x, train)

@@ -22,7 +22,7 @@ disagree with the backbone's actual strides (2,4,8) — training code should
 derive effective scales from feature shapes (see training/steps.py).
 """
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,21 +33,25 @@ from .layers import ConvModule, YOLOHead
 
 class InputStemLayer(nn.Module):
     out_channels: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return ConvModule(self.out_channels, (1, 1))(x, train)
+        return ConvModule(self.out_channels, (1, 1),
+                          dtype=self.dtype)(x, train)
 
 
 class AdaptiveStemLayer(nn.Module):
     """Separate stems for 1-channel IR and 3-channel RGB inputs."""
 
     out_channels: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         name = "gray_conv" if x.shape[-1] == 1 else "rgb_conv"
-        return ConvModule(self.out_channels, (1, 1), name=name)(x, train)
+        return ConvModule(self.out_channels, (1, 1), name=name,
+                          dtype=self.dtype)(x, train)
 
 
 def space_to_depth(x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
@@ -68,6 +72,7 @@ class DynamicSOEM(nn.Module):
     dy_kernel_size: int = 3
     downsample_factor: int = 2
     reduction_ratio: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_temp: float = 1.0, train: bool = False):
@@ -78,20 +83,22 @@ class DynamicSOEM(nn.Module):
         hidden = max(1, in_attn // 4)
 
         pooled = jnp.mean(f, axis=(1, 2))
-        a = nn.Dense(hidden, name="attn_fc1")(pooled)
+        a = nn.Dense(hidden, name="attn_fc1", dtype=self.dtype)(pooled)
         a = nn.relu(a)
-        a = nn.Dense(self.num_dy_conv, name="attn_fc2")(a)
-        attn = jax.nn.softmax(a / attn_temp, axis=-1)  # (B, E)
+        a = nn.Dense(self.num_dy_conv, name="attn_fc2", dtype=self.dtype)(a)
+        attn = jax.nn.softmax(a.astype(jnp.float32) / attn_temp,
+                              axis=-1)  # (B, E)
 
         ks = self.dy_kernel_size
         y = nn.Conv(self.num_dy_conv * out_c, (ks, ks),
-                    padding=ks // 2, use_bias=True, name="experts")(f)
+                    padding=ks // 2, use_bias=True, name="experts",
+                    dtype=self.dtype)(f)
         b, h, w, _ = y.shape
         y = y.reshape(b, h, w, self.num_dy_conv, out_c)
-        y = jnp.einsum("bhwec,be->bhwc", y, attn)
+        y = jnp.einsum("bhwec,be->bhwc", y, attn.astype(y.dtype))
 
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(y)
+                         epsilon=1e-5, dtype=self.dtype)(y)
         return nn.silu(y)
 
 
@@ -102,6 +109,8 @@ class SimplifiedFPN(nn.Module):
     twice — preserved.
     """
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, f_maps: Sequence[jnp.ndarray], train: bool = False):
         x0, x1, x2 = f_maps
@@ -110,15 +119,22 @@ class SimplifiedFPN(nn.Module):
         def up2(x):
             return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
-        center = x1 + nn.Conv(c1, (1, 1), name="x2_in_down")(up2(x2)) + x1
-        x0 = x0 + nn.Conv(c0, (1, 1), name="center_down")(up2(center))
+        dt = self.dtype
+        center = x1 + nn.Conv(c1, (1, 1), name="x2_in_down",
+                              dtype=dt)(up2(x2)) + x1
+        x0 = x0 + nn.Conv(c0, (1, 1), name="center_down",
+                          dtype=dt)(up2(center))
         x1 = center + nn.Conv(c1, (1, 1), strides=(2, 2),
-                              name="x0_out_up")(x0)
-        x2 = x2 + nn.Conv(c2, (1, 1), strides=(2, 2), name="x1_out_up")(x1)
+                              name="x0_out_up", dtype=dt)(x0)
+        x2 = x2 + nn.Conv(c2, (1, 1), strides=(2, 2), name="x1_out_up",
+                          dtype=dt)(x1)
 
-        x0 = ConvModule(c0, (3, 3), padding=1, name="x0_conv_out")(x0, train)
-        x1 = ConvModule(c1, (3, 3), padding=1, name="x1_conv_out")(x1, train)
-        x2 = ConvModule(c2, (3, 3), padding=1, name="x2_conv_out")(x2, train)
+        x0 = ConvModule(c0, (3, 3), padding=1, name="x0_conv_out",
+                        dtype=dt)(x0, train)
+        x1 = ConvModule(c1, (3, 3), padding=1, name="x1_conv_out",
+                        dtype=dt)(x1, train)
+        x2 = ConvModule(c2, (3, 3), padding=1, name="x2_conv_out",
+                        dtype=dt)(x2, train)
         return x0, x1, x2
 
 
@@ -135,20 +151,23 @@ class DySOEM_SimFPN(nn.Module):
     dy_kernel_size: Tuple[int, ...] = (3, 3, 3)
     attn_temperature: float = 30.0
     n_anchors: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert len(self.num_dy_conv) == len(self.dy_kernel_size)
-        x = InputStemLayer(self.stem_out_channels, name="input_stem")(
-            x, train)
+        dt = self.dtype or jnp.float32
+        x = InputStemLayer(self.stem_out_channels, name="input_stem",
+                           dtype=dt)(x.astype(dt), train)
 
         feats = []
         for i, (e, ks) in enumerate(
                 zip(self.num_dy_conv, self.dy_kernel_size)):
             x = DynamicSOEM(x.shape[-1], num_dy_conv=e, dy_kernel_size=ks,
-                            name=f"soem_{i}")(x, self.attn_temperature,
-                                              train)
+                            name=f"soem_{i}", dtype=dt)(
+                x, self.attn_temperature, train)
             feats.append(x)
 
-        x0, x1, x2 = SimplifiedFPN(name="neck")(feats, train)
-        return YOLOHead(self.n_anchors, 3, name="yolo_head")([x0, x1, x2])
+        x0, x1, x2 = SimplifiedFPN(name="neck", dtype=dt)(feats, train)
+        return YOLOHead(self.n_anchors, 3, dtype=dt,
+                        name="yolo_head")([x0, x1, x2])

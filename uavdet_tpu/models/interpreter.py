@@ -59,34 +59,44 @@ class YOLOInterpreter(nn.Module):
     layer_config: Tuple[Any, ...]
     n_anchors: int = 3
     attn_temperature: float = 30.0
+    dtype: Any = None  # jnp dtype; None → float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import jax.numpy as jnp
+        dtype = self.dtype or jnp.float32
+        x = x.astype(dtype)
         outs = []
         routes = []
 
         for tok in self.layer_config:
             if tok[0] == "B":
                 n = tok[1]
-                x = ResidualBlock(x.shape[-1], num_repeats=n)(x, train)
+                x = ResidualBlock(x.shape[-1], num_repeats=n,
+                                  dtype=dtype)(x, train)
                 if n == 8:
                     routes.append(x)
             elif tok[0] == "S":
                 x = ResidualBlock(x.shape[-1], use_residual=False,
-                                  num_repeats=1)(x, train)
-                x = CNNBlock(x.shape[-1] // 2, kernel_size=(1, 1))(x, train)
-                outs.append(ScalePrediction(x.shape[-1])(x, train))
+                                  num_repeats=1, dtype=dtype)(x, train)
+                x = CNNBlock(x.shape[-1] // 2, kernel_size=(1, 1),
+                             dtype=dtype)(x, train)
+                outs.append(
+                    ScalePrediction(x.shape[-1], dtype=dtype)(x, train))
             elif tok[0] == "U":
                 x = upsample2x(x)
                 x = jnp.concatenate([x, routes.pop()], axis=-1)
             elif tok[0] == "DyConv":
                 out_c, k, s = tok[1:]
                 x = DyConvModule(out_c, kernel_size=k, stride=s,
-                                 padding=1 if k == 3 else 0)(
+                                 padding=1 if k == 3 else 0,
+                                 dtype=dtype)(
                     x, self.attn_temperature, train)
             else:
                 out_c, k, s = tok
                 x = CNNBlock(out_c, kernel_size=(k, k), stride=(s, s),
-                             padding=1 if k == 3 else 0)(x, train)
+                             padding=1 if k == 3 else 0,
+                             dtype=dtype)(x, train)
 
-        return YOLOHead(self.n_anchors, len(outs), name="yolo_head")(outs)
+        return YOLOHead(self.n_anchors, len(outs), dtype=dtype,
+                        name="yolo_head")(outs)

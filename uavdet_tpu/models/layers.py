@@ -25,7 +25,7 @@ BatchNorm: torch defaults are eps=1e-5, momentum=0.1 — flax's ``momentum``
 is the running-average retention factor, so torch 0.1 ≡ flax 0.9.
 """
 
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,14 +50,16 @@ class ConvModule(nn.Module):
     activation: str = "silu"
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out_channels, self.kernel_size,
                     strides=self.stride, padding=_pad(self.padding),
-                    use_bias=False)(x)
+                    use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         momentum=self.bn_momentum, epsilon=self.bn_eps)(x)
+                         momentum=self.bn_momentum, epsilon=self.bn_eps,
+                         dtype=self.dtype)(x)
         return nn.silu(x) if self.activation == "silu" else nn.relu(x)
 
 
@@ -69,15 +71,17 @@ class CNNBlock(nn.Module):
     stride: Tuple[int, int] = (1, 1)
     padding: int = 0
     bn_act: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out_channels, self.kernel_size,
                     strides=self.stride, padding=_pad(self.padding),
-                    use_bias=not self.bn_act)(x)
+                    use_bias=not self.bn_act, dtype=self.dtype)(x)
         if self.bn_act:
             x = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5)(x)
+                             momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype)(x)
             x = nn.leaky_relu(x, negative_slope=0.1)
         return x
 
@@ -89,13 +93,15 @@ class ResidualBlock(nn.Module):
     channels: int
     use_residual: bool = True
     num_repeats: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(self.num_repeats):
-            y = CNNBlock(self.channels // 2, kernel_size=(1, 1))(x, train)
-            y = CNNBlock(self.channels, kernel_size=(3, 3), padding=1)(
-                y, train)
+            y = CNNBlock(self.channels // 2, kernel_size=(1, 1),
+                         dtype=self.dtype)(x, train)
+            y = CNNBlock(self.channels, kernel_size=(3, 3), padding=1,
+                         dtype=self.dtype)(y, train)
             x = y + x if self.use_residual else y
         return x
 
@@ -105,11 +111,12 @@ class ScalePrediction(nn.Module):
     (reference BaselineModel.py:47-53)."""
 
     in_channels: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return CNNBlock(2 * self.in_channels, kernel_size=(3, 3),
-                        padding=1)(x, train)
+                        padding=1, dtype=self.dtype)(x, train)
 
 
 class DyConvModule(nn.Module):
@@ -125,6 +132,7 @@ class DyConvModule(nn.Module):
     stride: int = 1
     padding: int = 0
     num_experts: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_temp: float = 1.0, train: bool = False):
@@ -134,10 +142,14 @@ class DyConvModule(nn.Module):
 
         # attention scores: GAP → 1x1 → ReLU → 1x1(+bias) → softmax(·/T)
         pooled = jnp.mean(x, axis=(1, 2))  # (B, C)
-        a = nn.Dense(hidden, use_bias=False, name="attn_fc1")(pooled)
+        a = nn.Dense(hidden, use_bias=False, name="attn_fc1",
+                     dtype=self.dtype)(pooled)
         a = nn.relu(a)
-        a = nn.Dense(self.num_experts, use_bias=True, name="attn_fc2")(a)
-        attn = jax.nn.softmax(a / attn_temp, axis=-1)  # (B, E)
+        a = nn.Dense(self.num_experts, use_bias=True, name="attn_fc2",
+                     dtype=self.dtype)(a)
+        # softmax in f32 for stability regardless of compute dtype
+        attn = jax.nn.softmax(a.astype(jnp.float32) / attn_temp,
+                              axis=-1)  # (B, E)
 
         # expert kernels stacked on the output-channel axis → ONE conv
         k = self.kernel_size
@@ -147,16 +159,16 @@ class DyConvModule(nn.Module):
                                              "truncated_normal"),
             (k, k, in_c, self.num_experts * self.out_channels))
         y = jax.lax.conv_general_dilated(
-            x, experts,
+            x, experts.astype(x.dtype),
             window_strides=(self.stride, self.stride),
             padding=_pad(self.padding),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         b, h, w, _ = y.shape
         y = y.reshape(b, h, w, self.num_experts, self.out_channels)
-        y = jnp.einsum("bhwec,be->bhwc", y, attn)
+        y = jnp.einsum("bhwec,be->bhwc", y, attn.astype(y.dtype))
 
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(y)
+                         epsilon=1e-5, dtype=self.dtype)(y)
         return nn.silu(y)
 
 
@@ -164,10 +176,12 @@ class ObjectnessHead(nn.Module):
     """1x1 conv → (B, A, H, W, 1) objectness logits (reference :80-99)."""
 
     n_anchors: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.n_anchors, (1, 1), use_bias=True)(x)
+        x = nn.Conv(self.n_anchors, (1, 1), use_bias=True,
+                    dtype=self.dtype)(x)
         b, h, w, _ = x.shape
         return x.reshape(b, h, w, self.n_anchors, 1).transpose(0, 3, 1, 2, 4)
 
@@ -176,10 +190,12 @@ class BBoxHead(nn.Module):
     """1x1 conv → (B, A, H, W, 4) box logits (reference :102-120)."""
 
     n_anchors: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.n_anchors * 4, (1, 1), use_bias=True)(x)
+        x = nn.Conv(self.n_anchors * 4, (1, 1), use_bias=True,
+                    dtype=self.dtype)(x)
         b, h, w, _ = x.shape
         return x.reshape(b, h, w, self.n_anchors, 4).transpose(0, 3, 1, 2, 4)
 
@@ -190,14 +206,17 @@ class YOLOHead(nn.Module):
 
     n_anchors: int
     n_scales: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, f_maps: Sequence[jnp.ndarray]) -> List[DetectionResults]:
         assert len(f_maps) == self.n_scales
         outs = []
         for i, f in enumerate(f_maps):
-            obj = ObjectnessHead(self.n_anchors, name=f"obj_{i}")(f)
-            bbox = BBoxHead(self.n_anchors, name=f"bbox_{i}")(f)
+            obj = ObjectnessHead(self.n_anchors, name=f"obj_{i}",
+                                 dtype=self.dtype)(f)
+            bbox = BBoxHead(self.n_anchors, name=f"bbox_{i}",
+                            dtype=self.dtype)(f)
             outs.append(DetectionResults(bbox=bbox, obj=obj))
         return outs
 

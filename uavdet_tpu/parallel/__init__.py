@@ -1,0 +1,7 @@
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicate,
+    shard_batch,
+    make_sharded_train_step,
+)

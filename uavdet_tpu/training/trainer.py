@@ -1,0 +1,164 @@
+"""Training orchestration — the pl.Trainer equivalent.
+
+Honors the reference trainer config surface (reference train.py:42-56):
+epochs, grad_batches (accumulation), train_batches / val_batches (fraction
+or count limits), val_check_interval, precision, grad_clip_val, profiler,
+devices (data-parallel mesh size), plus checkpoint best/last policy and
+DVCLive-format metric emission.
+"""
+
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import build_model
+from ..parallel import make_mesh, make_sharded_train_step, shard_batch
+from ..parallel.mesh import state_shardings
+from ..utils.datatypes import TrainState
+from .checkpoint import CheckpointManager
+from .dvclive_io import MetricsWriter
+from .optim import build_optimizer
+from .steps import init_state, make_eval_step, make_train_step
+
+
+def _limit(n_batches: int, limit) -> int:
+    """Lightning limit_*_batches semantics: float → fraction, int → count."""
+    if limit is None:
+        return n_batches
+    if isinstance(limit, float):
+        return max(1, int(n_batches * limit)) if limit <= 1.0 else int(limit)
+    return min(n_batches, int(limit))
+
+
+def _compute_dtype(precision) -> jnp.dtype:
+    if str(precision) in ("16", "bf16", "bfloat16", "16-mixed",
+                          "bf16-mixed"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+class Trainer:
+    def __init__(self, config, train_pipe, val_pipe,
+                 metrics: Optional[MetricsWriter] = None):
+        self.config = config
+        self.train_pipe = train_pipe
+        self.val_pipe = val_pipe
+        tcfg = config.train.trainer
+        self.epochs = int(tcfg.epochs)
+        self.grad_batches = int(tcfg.get("grad_batches", 1) or 1)
+        self.train_limit = tcfg.get("train_batches")
+        self.val_limit = tcfg.get("val_batches")
+        self.val_check_interval = tcfg.get("val_check_interval", 1.0)
+        self.compute_dtype = _compute_dtype(tcfg.get("precision"))
+        self.profiler = tcfg.get("profiler")
+        self.input_size = int(config.dataset.image_size[0])
+        self.metrics = metrics or MetricsWriter()
+
+        hparams = config.model.hparams
+        self.model = build_model(config.model.name, hparams)
+        self.tx = build_optimizer(
+            hparams, grad_batches=self.grad_batches,
+            grad_clip_val=tcfg.get("grad_clip_val"))
+
+        n_devices = int(tcfg.get("devices", 1) or 1)
+        self.mesh = None
+        if n_devices > 1:
+            self.mesh = make_mesh(n_data=n_devices)
+
+        ckpt_cfg = config.train.checkpoint
+        self.ckpt = CheckpointManager(
+            ckpt_cfg.dir, monitor=ckpt_cfg.monitor, mode=ckpt_cfg.mode)
+
+    def _build_steps(self, state):
+        hparams = self.config.model.hparams
+        if self.mesh is not None:
+            _, compile_step = make_sharded_train_step(
+                self.model, self.tx, hparams, self.input_size, self.mesh,
+                compute_dtype=self.compute_dtype)
+            train_step = compile_step(state)
+        else:
+            train_step = make_train_step(
+                self.model, self.tx, hparams, self.input_size,
+                compute_dtype=self.compute_dtype)
+        eval_step = make_eval_step(self.model, hparams, self.input_size,
+                                   compute_dtype=self.compute_dtype)
+        return train_step, eval_step
+
+    def fit(self, resume: bool = False) -> dict:
+        cfg = self.config
+        state = init_state(
+            self.model, self.tx, jax.random.key(int(cfg.train.seed or 0)),
+            self.input_size,
+            batch_size=int(cfg.dataset.batch_size))
+        if resume and self.ckpt.has_checkpoint("last"):
+            state = self.ckpt.restore(state, "last")
+            print(f"Resumed from last checkpoint at step "
+                  f"{int(np.asarray(state.step))}")
+
+        if self.mesh is not None:
+            sh = state_shardings(state, self.mesh)
+            state = jax.tree.map(jax.device_put, state, sh)
+
+        train_step, eval_step = self._build_steps(state)
+
+        if self.profiler:
+            jax.profiler.start_trace("logs/profile")
+
+        final = {}
+        for epoch in range(self.epochs):
+            n_train = _limit(len(self.train_pipe), self.train_limit)
+            t0 = time.time()
+            train_metrics = []
+            val_every = (max(1, int(n_train * self.val_check_interval))
+                         if isinstance(self.val_check_interval, float)
+                         else int(self.val_check_interval))
+
+            for i, batch in enumerate(iter(self.train_pipe)):
+                if i >= n_train:
+                    break
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                state, m = train_step(state, batch)
+                train_metrics.append(m)
+                self.metrics.log("train/loss", float(m["loss"]))
+                self.metrics.log("train/bbox_loss", float(m["bbox_loss"]))
+                self.metrics.log("train/obj_loss", float(m["obj_loss"]))
+                self.metrics.next_step()
+
+                if (i + 1) % val_every == 0 or (i + 1) == n_train:
+                    val = self.validate(state, eval_step)
+                    self.metrics.log("val/loss", val["val_loss"])
+                    self.metrics.log("val/bbox_loss", val["val_bbox_loss"])
+                    self.metrics.log("val/obj_loss", val["val_obj_loss"])
+                    self.ckpt.save(state, epoch, val)
+                    final.update(val)
+
+            tm = {k: float(np.mean([float(m[k]) for m in train_metrics]))
+                  for k in ("loss", "bbox_loss", "obj_loss")}
+            final.update({f"train_{k}": v for k, v in tm.items()})
+            print(f"epoch {epoch}: train_loss={tm['loss']:.5f} "
+                  f"val_loss={final.get('val_loss', float('nan')):.5f} "
+                  f"({time.time() - t0:.1f}s)")
+
+        if self.profiler:
+            jax.profiler.stop_trace()
+
+        self.metrics.flush()
+        final["epoch"] = self.epochs - 1
+        return final
+
+    def validate(self, state: TrainState, eval_step) -> dict:
+        n_val = _limit(len(self.val_pipe), self.val_limit)
+        ms = []
+        for i, batch in enumerate(iter(self.val_pipe)):
+            if i >= n_val:
+                break
+            ms.append(eval_step(state, batch))
+        out = {}
+        for k in ("loss", "bbox_loss", "obj_loss"):
+            out[f"val_{k}"] = float(np.mean([float(m[k]) for m in ms]))
+        return out
