@@ -34,6 +34,13 @@ def _load_image(path: str, fs=None) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
+def _image_hw(path: str):
+    """Image (height, width) from the header only (no pixel decode)."""
+    from PIL import Image
+    with Image.open(path) as im:
+        return im.height, im.width
+
+
 def _affine_matrix(rng: np.random.Generator, size: int) -> np.ndarray:
     """Random affine about the image center, albumentations-Affine-style."""
     scale = rng.uniform(0.8, 1.2)
@@ -139,9 +146,37 @@ class DataPipeline:
                    for i in idx]
             img, boxes = create_mosaic_4_img(
                 imgs, bxs, (self.input_size, self.input_size))
-        else:
-            img = _load_image(rec["img_path"], self.fs)
-            boxes = np.asarray([rec["bbox"]], np.float32)
+            return self.transform(img, boxes, rng)
+
+        boxes = np.asarray([rec["bbox"]], np.float32)
+        path = rec["img_path"]
+        if self.fs is None and path.endswith(".jpg"):
+            # native C++ decode+resize+normalize fast path
+            # (native/uavloader.cc)
+            from .native import get_lib
+            lib = get_lib()
+            if lib is not None:
+                import ctypes
+                img = np.empty(
+                    (self.input_size, self.input_size, 3), np.float32)
+                if lib.uav_decode_resize(
+                        path.encode(), self.input_size,
+                        img.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_float))):
+                    h0, w0 = _image_hw(path)
+                    s = self.input_size
+                    boxes = boxes * np.asarray(
+                        [s / w0, s / h0, s / w0, s / h0], np.float32)
+                    if self.train:
+                        mat = _affine_matrix(rng, s)
+                        img, boxes = _apply_affine(img, boxes, mat)
+                        if len(boxes):
+                            keep = ((boxes[:, 2] - boxes[:, 0]) > 1.0) & (
+                                (boxes[:, 3] - boxes[:, 1]) > 1.0)
+                            boxes = boxes[keep]
+                    return img, boxes.astype(np.float32)
+
+        img = _load_image(path, self.fs)
         return self.transform(img, boxes, rng)
 
     def _batches(self) -> Iterator[BatchData]:

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.fastconv import fast_conv3x3, use_fast_conv3x3
 from ..utils.datatypes import DetectionResults
 
 
@@ -38,6 +39,50 @@ def _pad(padding) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     if isinstance(padding, int):
         return ((padding, padding), (padding, padding))
     return tuple((p, p) for p in padding)
+
+
+def _stride1(stride) -> int:
+    return stride[0] if isinstance(stride, (tuple, list)) else stride
+
+
+class _FastConv3x3(nn.Module):
+    """Drop-in for nn.Conv(3x3, pad 1) on small input channels, computed via
+    the patchified-matmul rewrite (ops/fastconv.py). Parameter tree is
+    identical to nn.Conv ('kernel' [+ 'bias']), so checkpoints interchange.
+    """
+
+    features: int
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_c, self.features))
+        y = fast_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
+                         self.stride)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,)).astype(y.dtype)
+        return y
+
+
+def _conv_or_fast(x, features, kernel_size, stride, padding, use_bias,
+                  dtype, name: str):
+    """Pick the fast path when shapes qualify; fall back to nn.Conv."""
+    s = _stride1(stride)
+    ks = kernel_size if isinstance(kernel_size, (tuple, list)) \
+        else (kernel_size, kernel_size)
+    pad_ok = (padding == 1 or padding == (1, 1))
+    div = (s == 2 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0) or \
+          (s == 1 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
+    if use_fast_conv3x3(x.shape[-1], ks, s) and pad_ok and div:
+        return _FastConv3x3(features, stride=s, use_bias=use_bias,
+                            dtype=dtype or jnp.float32, name=name)(x)
+    return nn.Conv(features, ks, strides=stride, padding=_pad(padding),
+                   use_bias=use_bias, dtype=dtype, name=name)(x)
 
 
 class ConvModule(nn.Module):
@@ -75,9 +120,10 @@ class CNNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_channels, self.kernel_size,
-                    strides=self.stride, padding=_pad(self.padding),
-                    use_bias=not self.bn_act, dtype=self.dtype)(x)
+        x = _conv_or_fast(x, self.out_channels, self.kernel_size,
+                          self.stride, self.padding,
+                          use_bias=not self.bn_act, dtype=self.dtype,
+                          name="Conv_0")
         if self.bn_act:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=0.9, epsilon=1e-5,
@@ -151,21 +197,38 @@ class DyConvModule(nn.Module):
         attn = jax.nn.softmax(a.astype(jnp.float32) / attn_temp,
                               axis=-1)  # (B, E)
 
-        # expert kernels stacked on the output-channel axis → ONE conv
+        # expert kernels stacked on the output-channel axis
         k = self.kernel_size
         experts = self.param(
             "experts",
             nn.initializers.variance_scaling(2.0, "fan_in",
                                              "truncated_normal"),
             (k, k, in_c, self.num_experts * self.out_channels))
-        y = jax.lax.conv_general_dilated(
-            x, experts.astype(x.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=_pad(self.padding),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        b, h, w, _ = y.shape
-        y = y.reshape(b, h, w, self.num_experts, self.out_channels)
-        y = jnp.einsum("bhwec,be->bhwc", y, attn.astype(y.dtype))
+
+        div = ((self.stride == 2 and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0)
+               or (self.stride == 1 and x.shape[1] % 4 == 0
+                   and x.shape[2] % 4 == 0))
+        if use_fast_conv3x3(in_c, k, self.stride) and self.padding == 1 \
+                and div:
+            # mix per-sample kernels first (tiny einsum), then one
+            # patchified batched matmul — avoids the E× intermediate that
+            # dominates at large spatial sizes
+            e5 = experts.reshape(k, k, in_c, self.num_experts,
+                                 self.out_channels)
+            kb = jnp.einsum("hwieo,be->bhwio", e5,
+                            attn.astype(e5.dtype))  # (B,k,k,I,O)
+            y = fast_conv3x3(x, kb.astype(x.dtype), self.stride)
+        else:
+            # ONE conv with all experts stacked + attention contraction
+            y = jax.lax.conv_general_dilated(
+                x, experts.astype(x.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=_pad(self.padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            b, h, w, _ = y.shape
+            y = y.reshape(b, h, w, self.num_experts, self.out_channels)
+            y = jnp.einsum("bhwec,be->bhwc", y, attn.astype(y.dtype))
 
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(y)
