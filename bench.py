@@ -1,13 +1,23 @@
 #!/usr/bin/env python
-"""End-to-end benchmark: preproc → DyYOLO forward → decode → NMS at 640px.
+"""End-to-end benchmarks: preproc → forward → decode → NMS on TPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 
-North star (BASELINE.md): ≥2,000 fps/chip end-to-end on TPU v5e at 640px.
-``vs_baseline`` is fps / 2000.
+North star (BASELINE.md): ≥2,000 fps/chip end-to-end at 640px on TPU v5e;
+``vs_baseline`` is fps / 2000. (Note: full DyYOLO at 640px carries
+~117 GFLOPs/frame, so 2,000 fps exceeds the chip's measured 148 TFLOP/s
+bf16 capability — the roofline is ~1,260 fps; we report against the stated
+2,000 target regardless.)
 
-Usage: python bench.py [--batch N] [--iters N] [--smoke] [--model NAME]
+Default run: DyYOLO @640 bs=16. ``--config N`` selects the BASELINE.json
+workload configs:
+  1  BaselineModel, RGB-only, batch 1 @ 640
+  2  DyYOLO dual-stream RGB+IR (modalities batched, reference semantics:
+     separate samples per modality), batch 8 @ 640, NMS included
+  3  DySOEM_SimFPN on IR stream, batch 32 @ 1280
+  4  RTMUAVDet full pipeline: preproc + detect + batched NMS (streaming)
+  5  RTMUAVDet training loop (fwd+bwd) steps/s
 """
 
 import argparse
@@ -16,6 +26,136 @@ import sys
 import time
 
 import numpy as np
+
+
+def _timer(run, sync, iters, warmup):
+    """Throughput timing with a real device sync. On the tunneled 'axon'
+    platform block_until_ready returns before execution completes, so the
+    only reliable sync is fetching a value to the host; the device executes
+    the queued programs in order, so syncing the last result times all."""
+    sync(run())
+    for _ in range(warmup):
+        sync(run())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = run()
+    sync(out)
+    return time.perf_counter() - t0
+
+
+def _emit(metric, fps):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(fps / 2000.0, 3),
+    }))
+
+
+def _detector_bench(name, hparams, batch, input_size, iters, warmup,
+                    pre_nms_topk=512, metric_suffix=""):
+    import jax
+    import jax.numpy as jnp
+    from uavdet_tpu.inference import make_detector
+    from uavdet_tpu.models import build_model
+
+    model = build_model(name, hparams, dtype=jnp.bfloat16)
+    x_init = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x_init, train=False)
+    detect = make_detector(model, hparams, input_size,
+                           pre_nms_topk=pre_nms_topk)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(batch, input_size, input_size, 3), dtype=np.uint8))
+
+    dt = _timer(lambda: detect(variables, imgs),
+                lambda o: float(jnp.sum(o.scores)), iters, warmup)
+    fps = batch * iters / dt
+    _emit(f"fps/chip end-to-end (preproc+detect+NMS) {name} @ "
+          f"{input_size}px bs={batch}{metric_suffix}", fps)
+
+
+def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False):
+    """RTMUAVDet pipeline (config 4) / training loop (config 5)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from uavdet_tpu.models.rtm_uav_det import RTMUAVDet, rtm_compute_loss
+    from uavdet_tpu.inference import preprocess
+    from uavdet_tpu.ops.nms import nms
+
+    det_scales = (input_size // 4, input_size // 8)
+    anchors = (((29, 23), (48, 30), (67, 38)),
+               ((91, 54), (120, 75), (157, 60)))
+    model = RTMUAVDet(anchors=anchors, det_scales=det_scales,
+                      dtype=jnp.bfloat16)
+    x0 = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x0)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(batch, input_size, input_size, 3), dtype=np.uint8))
+
+    if not train_loop:
+        @jax.jit
+        def detect(variables, images):
+            x = preprocess(images, input_size, jnp.bfloat16)
+            outs = model.apply(variables, x, train=False)
+            boxes, scores = [], []
+            for h, o in enumerate(outs):
+                stride = input_size // det_scales[h]
+                bb = o.bbox.reshape(batch, -1, 4) * stride
+                xyxy = jnp.stack(
+                    [bb[..., 0] - bb[..., 2] / 2, bb[..., 1] - bb[..., 3] / 2,
+                     bb[..., 0] + bb[..., 2] / 2, bb[..., 1] + bb[..., 3] / 2],
+                    axis=-1)
+                boxes.append(xyxy)
+                scores.append(o.obj.reshape(batch, -1))
+            bx = jnp.concatenate(boxes, 1)
+            sc = jnp.concatenate(scores, 1)
+
+            def per_image(b, s):
+                top_s, top_i = jax.lax.top_k(s, 512)
+                keep, _, _ = nms(b[top_i], top_s, 0.5, 300)
+                return top_s[jnp.maximum(keep, 0)] * (keep >= 0)
+
+            return jax.vmap(per_image)(bx, sc)
+
+        dt = _timer(lambda: detect(variables, imgs),
+                    lambda o: float(jnp.sum(o)), 20, warmup)
+        _emit(f"fps/chip RTMUAVDet pipeline (preproc+detect+NMS) @ "
+              f"{input_size}px bs={batch}", batch * 20 / dt)
+        return
+
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(variables["params"])
+    targets = jnp.asarray(np.tile(
+        np.asarray([[100, 100, 200, 200.0]], np.float32), (batch, 1, 1)))
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images):
+        def loss_fn(p):
+            outs, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                preprocess(images, input_size, jnp.bfloat16), train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(0)})
+            return rtm_compute_loss(outs, targets, input_size, det_scales), \
+                mut["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt2, loss
+
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def run():
+        nonlocal params, stats, opt_state
+        params, stats, opt_state, loss = step(params, stats, opt_state, imgs)
+        return loss
+
+    dt = _timer(run, lambda l: float(l), 10, warmup)
+    _emit(f"RTMUAVDet train fwd+bwd imgs/s @ {input_size}px bs={batch}",
+          batch * 10 / dt)
 
 
 def main():
@@ -28,13 +168,15 @@ def main():
                     help="model name override (default: params.yaml)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for a fast CI smoke run")
+    ap.add_argument("--config", type=int, default=None,
+                    choices=[1, 2, 3, 4, 5],
+                    help="BASELINE.json workload config (see module doc)")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-    from uavdet_tpu.models import build_model
-    from uavdet_tpu.inference import make_detector
-    from uavdet_tpu.utils.config import load_params
+    import jax  # noqa: F401  (initialize before model building)
+    from uavdet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from uavdet_tpu.utils.config import load_config, load_params
 
     cfg = load_params("params.yaml")
     hparams = cfg.model.hparams
@@ -43,50 +185,36 @@ def main():
     batch = 2 if args.smoke else args.batch
 
     if args.smoke:
-        # shrink the net: keep every token type but few channels
         hparams.layer_config = [
             ["DyConv", 8, 3, 1], [16, 3, 2], ["B", 1], [32, 3, 2], ["B", 8],
             [64, 3, 2], ["B", 8], [128, 3, 2], ["B", 1], [64, 1, 1],
             [128, 3, 1], ["S"], [32, 1, 1], ["U"], [32, 1, 1], [64, 3, 1],
             ["S"], [16, 1, 1], ["U"], [16, 1, 1], [32, 3, 1], ["S"]]
 
-    model = build_model(name, hparams, dtype=jnp.bfloat16)
-    rng = jax.random.key(0)
-    x_init = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
-    variables = model.init(rng, x_init, train=False)
-
-    detect = make_detector(model, hparams, input_size,
-                           pre_nms_topk=256 if args.smoke else 512)
-
-    imgs = jnp.asarray(
-        np.random.default_rng(0).integers(
-            0, 256, size=(batch, input_size, input_size, 3), dtype=np.uint8))
-
-    # compile + warmup. NOTE: on the tunneled 'axon' platform
-    # block_until_ready returns before device execution completes, so the
-    # only reliable sync is fetching a value to the host.
-    def sync(out):
-        return float(jnp.sum(out.scores))
-
-    sync(detect(variables, imgs))
-    for _ in range(args.warmup):
-        sync(detect(variables, imgs))
-
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = detect(variables, imgs)
-    sync(out)  # device executes in order; last result syncs them all
-    dt = time.perf_counter() - t0
-
-    fps = batch * args.iters / dt
-    result = {
-        "metric": f"fps/chip end-to-end (preproc+detect+NMS) "
-                  f"{name} @ {input_size}px bs={batch}",
-        "value": round(fps, 1),
-        "unit": "fps",
-        "vs_baseline": round(fps / 2000.0, 3),
-    }
-    print(json.dumps(result))
+    if args.config is None:
+        _detector_bench(name, hparams, batch, input_size, args.iters,
+                        args.warmup,
+                        pre_nms_topk=256 if args.smoke else 512)
+    elif args.config == 1:
+        base = load_config("conf", model="baseline")
+        _detector_bench("baseline", base.model.hparams, 1, 640, args.iters,
+                        args.warmup, metric_suffix=" [cfg1 rgb]")
+    elif args.config == 2:
+        # dual-stream: RGB and IR frames batched together (the reference
+        # treats modalities as separate samples, AntiUAVDataset.py:110-123)
+        _detector_bench("DyYOLO", load_config(
+            "conf", model="dy-yolo").model.hparams, 8, 640, args.iters,
+            args.warmup, metric_suffix=" [cfg2 rgb+ir dual-stream]")
+    elif args.config == 3:
+        soem = load_config("conf", model="dy-soem_fpn")
+        _detector_bench("DySOEM_SimFPN", soem.model.hparams, 32, 1280,
+                        max(args.iters, 5), args.warmup,
+                        metric_suffix=" [cfg3 ir thermal]")
+    elif args.config == 4:
+        _rtm_detector_bench(8, 640, args.iters, args.warmup)
+    elif args.config == 5:
+        _rtm_detector_bench(8, 640, args.iters, args.warmup,
+                            train_loop=True)
     return 0
 
 

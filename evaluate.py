@@ -16,6 +16,10 @@ import time
 
 import numpy as np
 
+from uavdet_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -25,6 +25,10 @@ jax.config.update("jax_num_cpu_devices", 8)
 # against f32 oracles, so pin full f32 accumulation for determinism.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+from uavdet_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

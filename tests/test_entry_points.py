@@ -1,0 +1,104 @@
+"""End-to-end entry-point tests: the two-stage pipeline + evaluate on a
+synthetic dataset with a tiny model, on the CPU test platform."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = [["DyConv", 8, 3, 1], [16, 3, 2], ["B", 1], [32, 3, 2], ["B", 8],
+        [64, 3, 2], ["B", 8], [128, 3, 2], ["B", 1], [64, 1, 1],
+        [128, 3, 1], ["S"], [32, 1, 1], ["U"], [32, 1, 1], [64, 3, 1],
+        ["S"], [16, 1, 1], ["U"], [16, 1, 1], [32, 3, 1], ["S"]]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("e2e")
+    from uavdet_tpu.data import make_synthetic_dataset
+    make_synthetic_dataset(str(wd / "data" / "Anti-UAV-RGBT"),
+                           n_seq=1, n_frames=6, img_size=128)
+    params = {
+        "dataset": {
+            "root_dir": "data/Anti-UAV-RGBT",
+            "train_loader_path": "data/train_manifest.json",
+            "val_loader_path": "data/val_manifest.json",
+            "test_loader_path": "data/test_manifest.json",
+            "batch_size": 2, "remote": False, "image_size": [64, 64],
+            "workers": 2, "mosaic": False, "format": "yolo"},
+        "train": {
+            "seed": 211,
+            "trainer": {
+                "epochs": 1, "input_size": [3, 64, 64], "profiler": None,
+                "grad_batches": 1, "train_batches": 2, "val_batches": 2,
+                "val_check_interval": 1.0, "accelerator": "cpu",
+                "devices": 1, "precision": 32, "grad_clip_val": None},
+            "checkpoint": {"dir": "logs/checkpoints",
+                           "monitor": "val_loss", "mode": "min"}},
+        "model": {
+            "name": "DyYOLO",
+            "hparams": {
+                "anchors": [[[40, 30], [60, 46], [54, 36]],
+                            [[18, 14], [24, 18], [30, 12]],
+                            [[6, 5], [10, 6], [13, 8]]],
+                "head_scales": [16, 8, 4], "lr": 0.001,
+                "lr_scheduler": False,
+                "loss_balancing": {"obj_scales_w": [0.5, 1.0, 2.0],
+                                   "bbox_w": 4.0, "objectness_w": 1.0,
+                                   "no_obj_w": 4.0},
+                "bbox_loss_fn": "mse", "attn_temperature": 30.0,
+                "optim": {"name": "SGD", "momentum": 0.78},
+                "layer_config": TINY}}}
+    with open(wd / "params.yaml", "w") as f:
+        yaml.safe_dump(params, f)
+    return wd
+
+
+def _run(script, wd, *args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               UAVDET_PLATFORM="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        cwd=wd, env=env, capture_output=True, text=True, timeout=900)
+
+
+def test_stage1_prepare(workdir):
+    r = _run("prepare_dataloader.py", workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for split in ("train", "val", "test"):
+        p = workdir / "data" / f"{split}_manifest.json"
+        assert p.exists()
+        recs = json.loads(p.read_text())["records"]
+        assert len(recs) > 0
+
+
+def test_stage2_train(workdir):
+    r = _run("train.py", workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads((workdir / "dvclive" / "metrics.json").read_text())
+    assert "train" in metrics and "val" in metrics
+    assert metrics["train"]["loss"] > 0
+    # plots contract (dvc.yaml)
+    for split in ("train", "val"):
+        for m in ("loss", "bbox_loss", "obj_loss"):
+            assert (workdir / "dvclive" / "plots" / "metrics" / split /
+                    f"{m}.tsv").exists()
+    # checkpoints: best + last
+    names = os.listdir(workdir / "logs" / "checkpoints")
+    assert "last" in names
+    assert any(n.startswith("best-") for n in names)
+
+
+def test_stage3_evaluate(workdir):
+    r = _run("evaluate.py", workdir, "--split", "val", "--ckpt", "last",
+             "--batch", "2", "--limit", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "map" in out and "map_50" in out
+    assert out["images"] > 0

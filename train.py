@@ -9,6 +9,10 @@ checkpoints under train.checkpoint.dir.
 
 import numpy as np
 
+from uavdet_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from uavdet_tpu.data import DataPipeline, load_manifest
 from uavdet_tpu.data.remote import make_filesystem
 from uavdet_tpu.training import MetricsWriter, Trainer
