@@ -20,16 +20,19 @@ from uavdet_tpu.utils.config import load_params
 from uavdet_tpu.utils.seeding import seed_everything
 
 
-def train(config, train_pipe, val_pipe):
+def train(config, train_pipe, val_pipe, resume: bool = False):
     trainer = Trainer(config, train_pipe, val_pipe,
                       metrics=MetricsWriter("dvclive"))
-    final = trainer.fit()
+    final = trainer.fit(resume=resume)
     print({k: round(v, 5) if isinstance(v, float) else v
            for k, v in final.items()})
     return final
 
 
 def main():
+    import sys
+    resume = "--resume" in sys.argv  # resume from last.ckpt (the reference
+    # writes last but never resumes, SURVEY §5 — wired here)
     config = load_params("params.yaml")
     if config.train.seed:
         seed_everything(int(config.train.seed))
@@ -49,7 +52,7 @@ def main():
         batch_size=int(ds.batch_size), train=False, seed=seed, fs=fs)
     print("Validation manifest loaded...")
 
-    train(config, train_pipe, val_pipe)
+    train(config, train_pipe, val_pipe, resume=resume)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,23 @@ def preprocess(images: jnp.ndarray, input_size: int,
     return x.astype(compute_dtype)
 
 
+def preprocess_dual(rgb: jnp.ndarray, ir: jnp.ndarray, input_size: int,
+                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Cross-modality alignment preprocessing, fused on device.
+
+    Anti-UAV-RGBT streams come at different native resolutions (RGB
+    1920×1080, IR 640×512). The reference resizes each modality on the host
+    and feeds them as separate samples (AntiUAVDataset.py:110-123,
+    :56-68). Here both streams are aligned to the common detector grid in
+    ONE jitted program — resize (bilinear) + [0,1] normalize + dtype cast —
+    and stacked modality-major into a single (2B, S, S, 3) batch:
+    out[:B] = RGB frames, out[B:] = IR frames.
+    """
+    r = preprocess(rgb, input_size, compute_dtype)
+    i = preprocess(ir, input_size, compute_dtype)
+    return jnp.concatenate([r, i], axis=0)
+
+
 def decode_all_heads(outs, anchors: np.ndarray, head_scales: Sequence[int],
                      bbox_loss_fn: str = "mse"):
     """Flatten per-head predictions to absolute-pixel xyxy + scores.
