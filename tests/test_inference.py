@@ -1,0 +1,116 @@
+"""Inference pipeline tests: decode_all_heads, dual-stream preproc, the
+full detector, and target validation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uavdet_tpu.inference import (
+    decode_all_heads, make_detector, preprocess, preprocess_dual)
+from uavdet_tpu.models import DyYOLO
+from uavdet_tpu.ops.targets import encode_yolo_targets, validate_targets
+from uavdet_tpu.utils.datatypes import DetectionResults
+from tests.test_models import TINY_DY_CONFIG
+
+HP_ANCHORS = np.asarray(
+    [[[40, 30], [60, 46], [54, 36]],
+     [[18, 14], [24, 18], [30, 12]],
+     [[6, 5], [10, 6], [13, 8]]], np.float32)
+
+
+class HP:
+    anchors = HP_ANCHORS.tolist()
+    head_scales = [16, 8, 4]
+    bbox_loss_fn = "mse"
+    attn_temperature = 30.0
+    layer_config = list(TINY_DY_CONFIG)
+
+
+def test_preprocess_uint8_resize_normalize():
+    img = np.zeros((2, 32, 48, 3), np.uint8)
+    img[:, :, :24] = 255
+    out = preprocess(jnp.asarray(img), 64, jnp.float32)
+    assert out.shape == (2, 64, 64, 3)
+    assert float(out.max()) <= 1.0 and float(out.min()) >= 0.0
+    # left half bright, right half dark after resize
+    assert float(out[0, 32, 8, 0]) > 0.9
+    assert float(out[0, 32, 56, 0]) < 0.1
+
+
+def test_preprocess_dual_alignment(rng):
+    rgb = rng.integers(0, 255, size=(3, 108, 192, 3), dtype=np.uint8)
+    ir = rng.integers(0, 255, size=(3, 51, 64, 3), dtype=np.uint8)
+    out = preprocess_dual(jnp.asarray(rgb), jnp.asarray(ir), 64,
+                          jnp.float32)
+    assert out.shape == (6, 64, 64, 3)
+    # modality-major: first 3 = rgb, last 3 = ir
+    r_only = preprocess(jnp.asarray(rgb), 64, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out[:3]), np.asarray(r_only),
+                               rtol=1e-5)
+
+
+def test_decode_all_heads_mse_center():
+    """Zero logits decode to box centered at (cell+0.5-ish) with w=h=anchor:
+    σ(0)*2-0.5 = 0.5 offsets, (σ(0)*2)² = 1 → w = anchor."""
+    sizes = [4, 8, 16]
+    outs = []
+    for s in sizes:
+        outs.append(DetectionResults(
+            bbox=jnp.zeros((1, 3, s, s, 4)), obj=jnp.zeros((1, 3, s, s, 1))))
+    boxes, scores = decode_all_heads(outs, HP_ANCHORS, [16, 8, 4], "mse")
+    assert boxes.shape == (1, 3 * (16 + 64 + 256), 4)
+    # first head, anchor 0, cell (0,0): center = (0.5, 0.5)·16 px = 8
+    b0 = np.asarray(boxes[0, 0])
+    cx, cy = (b0[0] + b0[2]) / 2, (b0[1] + b0[3]) / 2
+    assert cx == pytest.approx(8.0, abs=1e-4)
+    assert cy == pytest.approx(8.0, abs=1e-4)
+    # w = anchor_w (40 px), h = anchor_h (30 px)
+    assert b0[2] - b0[0] == pytest.approx(40.0, rel=1e-5)
+    assert b0[3] - b0[1] == pytest.approx(30.0, rel=1e-5)
+    # scores = σ(0) = 0.5
+    assert float(scores[0, 0]) == pytest.approx(0.5)
+
+
+def test_detector_end_to_end_trained_signal(rng):
+    """A detector over a model trained briefly on painted boxes should put
+    its best box near the target."""
+    from uavdet_tpu.training import build_optimizer, init_state, \
+        make_train_step
+    from tests.test_train_step import HP as THP, _synthetic_batch, INPUT
+
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    tx = build_optimizer(THP)
+    state = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+    step = make_train_step(model, tx, THP, INPUT)
+    batch = _synthetic_batch(rng, batch=4)
+    first = None
+    for _ in range(60):
+        state, m = step(state, batch)
+        first = first or float(m["loss"])
+
+    detect = make_detector(model, THP, INPUT, compute_dtype=jnp.float32,
+                           pre_nms_topk=128, max_det=10)
+    det = detect({"params": state.params,
+                  "batch_stats": state.batch_stats}, batch.image)
+    assert det.boxes.shape == (4, 10, 4)
+    assert float(m["loss"]) < first * 0.6  # training actually progressed
+    gt = np.asarray(batch.boxes[0, 0]) * INPUT
+    gcx, gcy = (gt[0] + gt[2]) / 2, (gt[1] + gt[3]) / 2
+    # SOME of the top-10 boxes should localize near the painted target
+    # (60 steps on 4 images is signal, not convergence)
+    centers = np.asarray(det.boxes[0])
+    ccx = (centers[:, 0] + centers[:, 2]) / 2
+    ccy = (centers[:, 1] + centers[:, 3]) / 2
+    dist = np.sqrt((ccx - gcx) ** 2 + (ccy - gcy) ** 2)
+    valid = np.asarray(det.valid[0])
+    assert dist[valid].min() < INPUT * 0.25, (dist[valid], gt)
+
+
+def test_validate_targets():
+    grids = encode_yolo_targets(
+        jnp.asarray([[[0.2, 0.2, 0.6, 0.6]]], jnp.float32),
+        jnp.ones((1, 1), bool), HP_ANCHORS, [16, 8, 4], 64)
+    validate_targets(grids, [4, 8, 16])
+    with pytest.raises(AssertionError):
+        validate_targets(grids, [4, 8])

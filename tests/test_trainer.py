@@ -1,0 +1,74 @@
+"""Trainer orchestration tests (in-process, synthetic data, tiny model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from uavdet_tpu.data import DataPipeline, build_index, make_synthetic_dataset
+from uavdet_tpu.training import MetricsWriter, Trainer
+from uavdet_tpu.utils.config import Config
+from tests.test_entry_points import TINY
+
+
+def _config(tmp_path, **trainer_overrides):
+    trainer = {
+        "epochs": 1, "input_size": [3, 64, 64], "profiler": None,
+        "grad_batches": 1, "train_batches": 2, "val_batches": 1,
+        "val_check_interval": 1.0, "accelerator": "cpu", "devices": 1,
+        "precision": 32, "grad_clip_val": None}
+    trainer.update(trainer_overrides)
+    return Config({
+        "dataset": {"root_dir": "x", "batch_size": 2, "remote": False,
+                    "image_size": [64, 64], "workers": 1, "mosaic": False,
+                    "format": "yolo"},
+        "train": {"seed": 211, "trainer": trainer,
+                  "checkpoint": {"dir": str(tmp_path / "ck"),
+                                 "monitor": "val_loss", "mode": "min"}},
+        "model": {"name": "DyYOLO", "hparams": {
+            "anchors": [[[40, 30], [60, 46], [54, 36]],
+                        [[18, 14], [24, 18], [30, 12]],
+                        [[6, 5], [10, 6], [13, 8]]],
+            "head_scales": [16, 8, 4], "lr": 0.001, "lr_scheduler": False,
+            "loss_balancing": {"obj_scales_w": [0.5, 1.0, 2.0],
+                               "bbox_w": 4.0, "objectness_w": 1.0,
+                               "no_obj_w": 4.0},
+            "bbox_loss_fn": "mse", "attn_temperature": 30.0,
+            "optim": {"name": "SGD", "momentum": 0.78},
+            "layer_config": TINY}}})
+
+
+@pytest.fixture(scope="module")
+def pipes(tmp_path_factory):
+    root = make_synthetic_dataset(
+        str(tmp_path_factory.mktemp("ds")), n_seq=1, n_frames=5,
+        img_size=96)
+    tr = DataPipeline(build_index(os.path.join(root, "train")), 64, 2,
+                      train=True, seed=1)
+    va = DataPipeline(build_index(os.path.join(root, "val")), 64, 2,
+                      train=False, seed=1)
+    return tr, va
+
+
+def test_trainer_fit_with_val_ap(pipes, tmp_path):
+    tr, va = pipes
+    cfg = _config(tmp_path, eval_ap=True)
+    t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dv")))
+    final = t.fit()
+    assert np.isfinite(final["val_loss"])
+    assert "val_AP" in final and final["val_AP"] >= 0.0
+    assert os.path.exists(tmp_path / "dv" / "metrics.json")
+    assert os.path.exists(
+        tmp_path / "dv" / "plots" / "metrics" / "val" / "AP.tsv")
+    assert t.ckpt.has_checkpoint("last")
+
+
+def test_trainer_resume(pipes, tmp_path):
+    tr, va = pipes
+    cfg = _config(tmp_path)
+    t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dv2")))
+    t.fit()
+    # resume should restore without error and continue from saved step
+    t2 = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dv3")))
+    final = t2.fit(resume=True)
+    assert np.isfinite(final["val_loss"])

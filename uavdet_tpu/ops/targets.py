@@ -71,6 +71,23 @@ def _encode_one_head(boxes_cxcywh: jnp.ndarray, mask: jnp.ndarray,
     return jax.lax.fori_loop(0, boxes_cxcywh.shape[0], body, grid)
 
 
+def validate_targets(grids, head_sizes_: Sequence[int]) -> None:
+    """Host-side sanity net over encoded grids — the TPU equivalent of the
+    reference's inline assertion test (utils/test.py:3-14): head count,
+    objectness ∈ [0,1], no NaN/Inf. Use in debug paths, not inside jit."""
+    import numpy as np
+
+    assert len(grids) == len(head_sizes_), (
+        "Number of scaled targets not match with detection heads")
+    for i, g in enumerate(grids):
+        a = np.asarray(g)
+        obj = a[..., 0]
+        assert ((obj >= 0) & (obj <= 1)).all(), (
+            f"Scale bbox {i} has invalid objectness values")
+        assert not np.isnan(a).any(), f"Scale bbox {i} contains NaN values"
+        assert not np.isinf(a).any(), f"Scale bbox {i} contains Inf values"
+
+
 def encode_yolo_targets(boxes_xyxy: jnp.ndarray, box_mask: jnp.ndarray,
                         anchors: jnp.ndarray,
                         head_scales: Sequence[int],

@@ -57,6 +57,9 @@ class Trainer:
         self.profiler = tcfg.get("profiler")
         self.input_size = int(config.dataset.image_size[0])
         self.metrics = metrics or MetricsWriter()
+        # functional val_AP (the reference ships it commented out,
+        # model/DyYOLO.py:163); enable with train.trainer.eval_ap: true
+        self.eval_ap = bool(tcfg.get("eval_ap", False))
 
         hparams = config.model.hparams
         self.model = build_model(config.model.name, hparams)
@@ -134,6 +137,8 @@ class Trainer:
                     self.metrics.log("val/loss", val["val_loss"])
                     self.metrics.log("val/bbox_loss", val["val_bbox_loss"])
                     self.metrics.log("val/obj_loss", val["val_obj_loss"])
+                    if "val_AP" in val:
+                        self.metrics.log("val/AP", val["val_AP"])
                     self.ckpt.save(state, epoch, val)
                     final.update(val)
 
@@ -154,11 +159,43 @@ class Trainer:
     def validate(self, state: TrainState, eval_step) -> dict:
         n_val = _limit(len(self.val_pipe), self.val_limit)
         ms = []
+        ap_metric = None
+        detect = None
+        if self.eval_ap:
+            from ..inference import make_detector
+            from ..ops.map import MeanAveragePrecision
+            ap_metric = MeanAveragePrecision()
+            detect = make_detector(self.model, self.config.model.hparams,
+                                   self.input_size,
+                                   compute_dtype=self.compute_dtype)
         for i, batch in enumerate(iter(self.val_pipe)):
             if i >= n_val:
                 break
             ms.append(eval_step(state, batch))
+            if detect is not None:
+                self._update_ap(ap_metric, detect, state, batch)
         out = {}
         for k in ("loss", "bbox_loss", "obj_loss"):
             out[f"val_{k}"] = float(np.mean([float(m[k]) for m in ms]))
+        if ap_metric is not None:
+            out["val_AP"] = ap_metric.compute()["map"]
         return out
+
+    def _update_ap(self, ap_metric, detect, state, batch):
+        det = detect({"params": state.params,
+                      "batch_stats": state.batch_stats}, batch.image)
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        valid = np.asarray(det.valid)
+        gt = np.asarray(batch.boxes) * self.input_size
+        gt_mask = np.asarray(batch.box_mask)
+        for i in range(boxes.shape[0]):
+            b = boxes[i][valid[i]]
+            cxcywh = np.stack([(b[:, 0] + b[:, 2]) / 2,
+                               (b[:, 1] + b[:, 3]) / 2,
+                               b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], -1)
+            g = gt[i][gt_mask[i]]
+            g_cx = np.stack([(g[:, 0] + g[:, 2]) / 2,
+                             (g[:, 1] + g[:, 3]) / 2,
+                             g[:, 2] - g[:, 0], g[:, 3] - g[:, 1]], -1)
+            ap_metric.update(cxcywh, scores[i][valid[i]], g_cx)
