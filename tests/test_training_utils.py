@@ -100,3 +100,14 @@ def test_checkpoint_meta_persists(tmp_path):
     cm2 = CheckpointManager(str(tmp_path / "ck"))  # reload meta
     assert cm2.best_value == 2.0
     assert cm2.best_path == "best-00-2.0000"
+
+
+def test_summarize_model():
+    from uavdet_tpu.models import DyYOLO
+    from uavdet_tpu.utils.viz import summarize_model
+    from tests.test_models import TINY_DY_CONFIG
+    table = summarize_model(DyYOLO(layer_config=TINY_DY_CONFIG),
+                            input_shape=(1, 64, 64, 3))
+    # rich truncates long module names; check the stable bits
+    assert "DyYOLO Summary" in table
+    assert "params" in table and "batch_sta" in table

@@ -61,3 +61,16 @@ def plot_sample_data(pipeline, out_path: Optional[str] = None, n: int = 4):
     else:  # pragma: no cover
         plt.show()
     return out_path
+
+
+def summarize_model(model, input_shape=(1, 64, 64, 3), **init_kwargs):
+    """Model inspection table (the torchinfo/torchview role in the
+    reference's tooling, requirements.txt:174,176) via flax tabulate."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    return nn.tabulate(
+        model, jax.random.key(0),
+        compute_flops=False, compute_vjp_flops=False)(
+        jnp.zeros(input_shape, jnp.float32), **init_kwargs)
