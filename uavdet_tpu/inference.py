@@ -121,6 +121,24 @@ def make_detector(model, hparams, input_size: int,
         outs = model.apply(variables, x, train=False)
         scales = tuple(input_size // o.obj.shape[2] for o in outs)
         boxes, scores = decode_all_heads(outs, anchors, scales, bbox_loss_fn)
+        # bound the candidate set per head BEFORE the global concat —
+        # high-resolution heads (e.g. DySOEM stride 2 @1280px) otherwise
+        # produce millions of candidates per image
+        if boxes.shape[1] > 4 * pre_nms_topk:
+            parts_b, parts_s = [], []
+            offset = 0
+            for o in outs:
+                n = int(np.prod(o.obj.shape[1:4]))
+                sc = scores[:, offset:offset + n]
+                bx = boxes[:, offset:offset + n]
+                k = min(pre_nms_topk, n)
+                top_s, top_i = jax.lax.top_k(sc, k)
+                parts_s.append(top_s)
+                parts_b.append(jnp.take_along_axis(
+                    bx, top_i[..., None], axis=1))
+                offset += n
+            boxes = jnp.concatenate(parts_b, axis=1)
+            scores = jnp.concatenate(parts_s, axis=1)
         scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
 
         def per_image(bx, sc):
