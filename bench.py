@@ -54,25 +54,36 @@ def _emit(metric, fps):
 
 
 def _detector_bench(name, hparams, batch, input_size, iters, warmup,
-                    pre_nms_topk=512, metric_suffix=""):
+                    pre_nms_topk=512, metric_suffix="", microbatch=None):
+    """``microbatch``: process the batch in sequential sub-batches (for
+    workloads whose activations exceed single-chip HBM, e.g. DySOEM
+    b32 @ 1280px needs ~25 GB vs 15.75 GB available)."""
     import jax
     import jax.numpy as jnp
     from uavdet_tpu.inference import make_detector
     from uavdet_tpu.models import build_model
 
+    mb = microbatch or batch
     model = build_model(name, hparams, dtype=jnp.bfloat16)
-    x_init = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
+    x_init = jnp.zeros((mb, input_size, input_size, 3), jnp.float32)
     variables = model.init(jax.random.key(0), x_init, train=False)
     detect = make_detector(model, hparams, input_size,
                            pre_nms_topk=pre_nms_topk)
     imgs = jnp.asarray(np.random.default_rng(0).integers(
-        0, 256, size=(batch, input_size, input_size, 3), dtype=np.uint8))
+        0, 256, size=(mb, input_size, input_size, 3), dtype=np.uint8))
 
-    dt = _timer(lambda: detect(variables, imgs),
-                lambda o: float(jnp.sum(o.scores)), iters, warmup)
+    def run():
+        out = None
+        for _ in range(batch // mb):
+            out = detect(variables, imgs)
+        return out
+
+    dt = _timer(run, lambda o: float(jnp.sum(o.scores)), iters, warmup)
     fps = batch * iters / dt
+    suffix = metric_suffix + (
+        f" (microbatch {mb})" if mb != batch else "")
     _emit(f"fps/chip end-to-end (preproc+detect+NMS) {name} @ "
-          f"{input_size}px bs={batch}{metric_suffix}", fps)
+          f"{input_size}px bs={batch}{suffix}", fps)
 
 
 def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False):
@@ -208,8 +219,8 @@ def main():
     elif args.config == 3:
         soem = load_config("conf", model="dy-soem_fpn")
         _detector_bench("DySOEM_SimFPN", soem.model.hparams, 32, 1280,
-                        max(args.iters, 5), args.warmup,
-                        metric_suffix=" [cfg3 ir thermal]")
+                        min(args.iters, 10), args.warmup,
+                        metric_suffix=" [cfg3 ir thermal]", microbatch=8)
     elif args.config == 4:
         _rtm_detector_bench(8, 640, args.iters, args.warmup)
     elif args.config == 5:

@@ -70,7 +70,12 @@ class Trainer:
         n_devices = int(tcfg.get("devices", 1) or 1)
         self.mesh = None
         if n_devices > 1:
-            self.mesh = make_mesh(n_data=n_devices)
+            avail = len(jax.devices())
+            if avail < n_devices:
+                print(f"WARNING: train.trainer.devices={n_devices} but only "
+                      f"{avail} device(s) visible; running single-device")
+            else:
+                self.mesh = make_mesh(n_data=n_devices)
 
         ckpt_cfg = config.train.checkpoint
         self.ckpt = CheckpointManager(
