@@ -72,3 +72,30 @@ def test_trainer_resume(pipes, tmp_path):
     t2 = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dv3")))
     final = t2.fit(resume=True)
     assert np.isfinite(final["val_loss"])
+
+
+def test_nan_guard_skips_poisoned_batches(pipes, tmp_path):
+    """Inject a NaN image batch; the guard must skip it and finish."""
+    import numpy as np
+    tr, va = pipes
+    cfg = _config(tmp_path / "ng", nan_guard=True, train_batches=3)
+
+    class PoisonPipe:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            for i, b in enumerate(iter(self.inner)):
+                if i == 1:  # poison the 2nd batch
+                    yield b._replace(image=np.full_like(
+                        np.asarray(b.image), np.nan))
+                else:
+                    yield b
+
+    t = Trainer(cfg, PoisonPipe(tr), va,
+                metrics=MetricsWriter(str(tmp_path / "ng" / "dv")))
+    final = t.fit()
+    assert np.isfinite(final["val_loss"])

@@ -60,6 +60,12 @@ class Trainer:
         # functional val_AP (the reference ships it commented out,
         # model/DyYOLO.py:163); enable with train.trainer.eval_ap: true
         self.eval_ap = bool(tcfg.get("eval_ap", False))
+        # failure detection / recovery: on a non-finite train loss, restore
+        # the last checkpoint and keep going (up to nan_guard_retries).
+        # The reference's only failure story is its inline assert net
+        # (SURVEY §5); this is the trainer-level equivalent.
+        self.nan_guard = bool(tcfg.get("nan_guard", False))
+        self.nan_guard_retries = int(tcfg.get("nan_guard_retries", 3))
 
         hparams = config.model.hparams
         self.model = build_model(config.model.name, hparams)
@@ -125,12 +131,27 @@ class Trainer:
                          if isinstance(self.val_check_interval, float)
                          else int(self.val_check_interval))
 
+            nan_hits = 0
             for i, batch in enumerate(iter(self.train_pipe)):
                 if i >= n_train:
                     break
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
-                state, m = train_step(state, batch)
+                new_state, m = train_step(state, batch)
+                if self.nan_guard and not np.isfinite(float(m["loss"])):
+                    nan_hits += 1
+                    print(f"WARNING: non-finite loss at step {i} "
+                          f"({nan_hits}/{self.nan_guard_retries}) — "
+                          f"skipping batch"
+                          + (", restoring last checkpoint"
+                             if self.ckpt.has_checkpoint("last") else ""))
+                    if nan_hits > self.nan_guard_retries:
+                        raise FloatingPointError(
+                            "nan_guard: too many non-finite losses")
+                    if self.ckpt.has_checkpoint("last"):
+                        state = self.ckpt.restore(state, "last")
+                    continue
+                state = new_state
                 train_metrics.append(m)
                 self.metrics.log("train/loss", float(m["loss"]))
                 self.metrics.log("train/bbox_loss", float(m["bbox_loss"]))
