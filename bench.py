@@ -18,6 +18,8 @@ workload configs:
   3  DySOEM_SimFPN on IR stream, batch 32 @ 1280
   4  RTMUAVDet full pipeline: preproc + detect + batched NMS (streaming)
   5  RTMUAVDet training loop (fwd+bwd) steps/s
+  6  DyYOLO training loop (fwd+bwd+SGD, grad-accum 2, on-device target
+     encoding) imgs/s — the reference's actual training workload
 """
 
 import argparse
@@ -169,6 +171,42 @@ def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False):
           batch * 10 / dt)
 
 
+def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640):
+    """DyYOLO training step throughput (the reference's workload:
+    bs=4 x grad-accum 2, fp16/bf16, SGD momentum — train.py:42-56)."""
+    import jax
+    import jax.numpy as jnp
+    from uavdet_tpu.models import build_model
+    from uavdet_tpu.training import build_optimizer, init_state, \
+        make_train_step
+    from uavdet_tpu.utils.datatypes import BatchData
+
+    hparams = cfg.model.hparams
+    model = build_model(cfg.model.name, hparams, dtype=jnp.bfloat16)
+    tx = build_optimizer(hparams, grad_batches=2)
+    state = init_state(model, tx, jax.random.key(0), input_size,
+                       batch_size=batch)
+    step = make_train_step(model, tx, hparams, input_size,
+                           compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    bd = BatchData(
+        image=jnp.asarray(rng.uniform(
+            size=(batch, input_size, input_size, 3)).astype(np.float32)),
+        boxes=jnp.asarray(np.tile(np.asarray(
+            [[0.3, 0.3, 0.6, 0.6]], np.float32), (batch, 1, 1))),
+        box_mask=jnp.ones((batch, 1), bool))
+
+    holder = {"state": state}
+
+    def run():
+        holder["state"], m = step(holder["state"], bd)
+        return m["loss"]
+
+    dt = _timer(run, lambda l: float(l), 10, warmup)
+    _emit(f"DyYOLO train fwd+bwd imgs/s @ {input_size}px bs={batch} "
+          f"accum=2", batch * 10 / dt)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -180,7 +218,7 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for a fast CI smoke run")
     ap.add_argument("--config", type=int, default=None,
-                    choices=[1, 2, 3, 4, 5],
+                    choices=[1, 2, 3, 4, 5, 6],
                     help="BASELINE.json workload config (see module doc)")
     args = ap.parse_args()
 
@@ -226,6 +264,9 @@ def main():
     elif args.config == 5:
         _rtm_detector_bench(8, 640, args.iters, args.warmup,
                             train_loop=True)
+    elif args.config == 6:
+        _dyyolo_train_bench(load_config("conf", model="dy-yolo"),
+                            args.warmup)
     return 0
 
 

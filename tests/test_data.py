@@ -125,3 +125,24 @@ def test_mosaic_requires_four():
     with pytest.raises(ValueError):
         create_mosaic_4_img([np.zeros((4, 4, 3), np.uint8)] * 3,
                             [np.zeros(4)] * 3)
+
+
+def test_pipeline_mosaic_mode(dataset_root):
+    recs = build_index(os.path.join(dataset_root, "train"), seed=11)
+    pipe = DataPipeline(recs, input_size=64, batch_size=2, train=True,
+                        seed=11, mosaic=True, max_boxes=8)
+    batch = next(iter(pipe))
+    assert batch.image.shape == (2, 64, 64, 3)
+    # mosaic can contribute up to 4 boxes per sample
+    assert batch.box_mask.sum() >= 2
+    assert float(batch.boxes.max()) <= 1.0
+
+
+def test_pipeline_epoch_reshuffles(dataset_root):
+    recs = build_index(os.path.join(dataset_root, "train"), seed=11)
+    pipe = DataPipeline(recs, input_size=32, batch_size=2, train=True,
+                        seed=11)
+    e1 = [np.asarray(b.image).sum() for b in iter(pipe)]
+    e2 = [np.asarray(b.image).sum() for b in iter(pipe)]
+    # different epoch -> different shuffle/augmentation stream
+    assert e1 != e2
