@@ -135,3 +135,46 @@ def test_against_torchmetrics_if_available():
     want = theirs.compute()
     assert got["map"] == pytest.approx(float(want["map"]), abs=1e-3)
     assert got["map_50"] == pytest.approx(float(want["map_50"]), abs=1e-3)
+
+
+def test_two_class_free_single_class_multi_gt_partial():
+    # 3 GT, 2 TP + 1 FN at 0.5 threshold
+    gts = [_box(50, 50, 20, 20), _box(150, 150, 20, 20),
+           _box(250, 250, 20, 20)]
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([gts[0], gts[1]], [0.9, 0.8], gts)
+    out = m.compute()
+    # PR: (r=1/3, p=1), (r=2/3, p=1) → interp: p=1 for r<=2/3, 0 beyond
+    # 101-pt: recall points 0..0.66 (67 points) at 1.0
+    want = 67 / 101
+    assert out["map_50"] == pytest.approx(want, abs=1e-6)
+
+
+def test_max_det_truncation():
+    gt = [_box(50, 50, 20, 20)]
+    m = MeanAveragePrecision(iou_thresholds=[0.5], max_det=1)
+    # TP has LOWER score than an FP: with max_det=1 only the FP survives
+    m.update([gt[0], _box(300, 300, 10, 10)], [0.2, 0.9], gt)
+    out = m.compute()
+    assert out["map_50"] == pytest.approx(0.0)
+
+
+def test_duplicate_scores_stable_order():
+    gt = [_box(50, 50, 20, 20)]
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    # two dets with identical scores: first in input order matches first
+    m.update([gt[0], _box(51, 50, 20, 20)], [0.5, 0.5], gt)
+    out = m.compute()
+    assert out["map_50"] == pytest.approx(1.0)
+
+
+def test_iou_threshold_sweep_monotone(rng):
+    # AP must be non-increasing in the IoU threshold
+    gt = [_box(50, 50, 20, 20)]
+    det = [_box(53, 50, 20, 20)]
+    aps = []
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        m = MeanAveragePrecision(iou_thresholds=[t])
+        m.update(det, [0.9], gt)
+        aps.append(m.compute()["map"])
+    assert all(a >= b - 1e-9 for a, b in zip(aps, aps[1:]))
