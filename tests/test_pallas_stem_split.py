@@ -1,0 +1,39 @@
+"""Two-kernel fused stem vs the flax DyConv stem (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uavdet_tpu.models import DyYOLO
+from uavdet_tpu.ops.pallas_stem_split import fused_stem_forward
+
+
+CFG = (("DyConv", 32, 3, 1), ("DyConv", 64, 3, 2), ("B", 1), ("S",))
+
+
+def test_split_stem_matches_flax(rng):
+    # a tiny DyYOLO whose first two layers are the real stem shapes
+    model = DyYOLO(layer_config=CFG, attn_temperature=30.0)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 128, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    p = variables["params"]["net"]
+    s = variables["batch_stats"]["net"]
+
+    got = fused_stem_forward(
+        x, p["DyConvModule_0"], s["DyConvModule_0"],
+        p["DyConvModule_1"], s["DyConvModule_1"], 30.0, interpret=True)
+
+    # flax reference: run just the two stem layers
+    from uavdet_tpu.models.layers import DyConvModule
+    m0 = DyConvModule(32, 3, 1, 1)
+    m1 = DyConvModule(64, 3, 2, 1)
+    y = m0.apply({"params": p["DyConvModule_0"],
+                  "batch_stats": s["DyConvModule_0"]}, x, 30.0, False)
+    want = m1.apply({"params": p["DyConvModule_1"],
+                     "batch_stats": s["DyConvModule_1"]}, y, 30.0, False)
+
+    assert got.shape == want.shape == (2, 32, 64, 64)
+    g = np.asarray(got, np.float32)
+    r = np.asarray(want, np.float32)
+    np.testing.assert_allclose(g, r, rtol=0.1, atol=0.03)
+    assert np.corrcoef(g.ravel(), r.ravel())[0, 1] > 0.999
