@@ -37,3 +37,40 @@ def test_split_stem_matches_flax(rng):
     r = np.asarray(want, np.float32)
     np.testing.assert_allclose(g, r, rtol=0.1, atol=0.03)
     assert np.corrcoef(g.ravel(), r.ravel())[0, 1] > 0.999
+
+
+def test_detector_pallas_stem_path_matches(rng):
+    """make_detector(pallas_stem_variables=...) must produce (nearly) the
+    same detections as the standard flax path."""
+    from uavdet_tpu.inference import make_detector
+
+    cfg = (("DyConv", 32, 3, 1), ("DyConv", 64, 3, 2), ("B", 8),
+           (128, 3, 2), ("B", 1), (64, 1, 1), (128, 3, 1), ("S",),
+           (32, 1, 1), ("U",), (32, 1, 1), (64, 3, 1), ("S",))
+    model = DyYOLO(layer_config=cfg, attn_temperature=30.0)
+    x = jnp.asarray((rng.uniform(size=(2, 64, 64, 3)) * 255).astype(
+        np.uint8))
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    class HP:
+        anchors = [[[40, 30], [60, 46], [54, 36]],
+                   [[18, 14], [24, 18], [30, 12]]]
+        bbox_loss_fn = "mse"
+
+    std = make_detector(model, HP, 64, compute_dtype=jnp.float32,
+                        pre_nms_topk=64, max_det=8)
+    fast = make_detector(model, HP, 64, compute_dtype=jnp.float32,
+                         pre_nms_topk=64, max_det=8,
+                         pallas_stem_variables=variables,
+                         pallas_stem_interpret=True)
+
+    d1 = std(variables, x)
+    d2 = fast(variables, x)
+    # stem runs in bf16 inside the kernel; scores must agree closely and
+    # the kept top boxes must overlap
+    np.testing.assert_allclose(np.asarray(d2.scores), np.asarray(d1.scores),
+                               rtol=0.05, atol=0.01)
+    np.testing.assert_allclose(np.asarray(d2.boxes[:, 0]),
+                               np.asarray(d1.boxes[:, 0]),
+                               rtol=0.1, atol=2.0)

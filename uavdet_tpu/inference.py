@@ -106,19 +106,39 @@ def decode_all_heads(outs, anchors: np.ndarray, head_scales: Sequence[int],
 def make_detector(model, hparams, input_size: int,
                   score_threshold: float = 0.001,
                   nms_iou: float = 0.5, pre_nms_topk: int = 512,
-                  max_det: int = 300, compute_dtype=jnp.bfloat16):
+                  max_det: int = 300, compute_dtype=jnp.bfloat16,
+                  pallas_stem_variables=None, pallas_stem_interpret=False):
     """Build the jitted end-to-end detector.
 
     Returns ``detect(variables, images) -> Detections``; ``images`` may be
     uint8 at native resolution (preproc fused in).
+
+    ``pallas_stem_variables``: when given (and the model's layer_config
+    starts with the DyConv(32,3,1)+DyConv(64,3,2) stem), the first two
+    layers run through the fused Pallas stem kernels
+    (ops/pallas_stem_split.py) with weights BOUND AT BUILD TIME from this
+    variables tree — the ``variables`` argument of ``detect`` is then
+    ignored for those two layers.
     """
     anchors = np.asarray(hparams.anchors, np.float32)
     bbox_loss_fn = str(hparams.bbox_loss_fn)
 
+    stem = None
+    if pallas_stem_variables is not None and hasattr(model, "layer_config"):
+        from .ops.pallas_stem_split import detector_stem_fast_path
+        stem = detector_stem_fast_path(
+            model, pallas_stem_variables, model.layer_config,
+            getattr(model, "attn_temperature", 30.0),
+            interpret=pallas_stem_interpret)
+
     @jax.jit
     def detect(variables, images) -> Detections:
         x = preprocess(images, input_size, compute_dtype)
-        outs = model.apply(variables, x, train=False)
+        if stem is not None:
+            stem_fn, tail_model, tail_vars = stem
+            outs = tail_model.apply(tail_vars, stem_fn(x), train=False)
+        else:
+            outs = model.apply(variables, x, train=False)
         scales = tuple(input_size // o.obj.shape[2] for o in outs)
         boxes, scores = decode_all_heads(outs, anchors, scales, bbox_loss_fn)
         # bound the candidate set per head BEFORE the global concat —

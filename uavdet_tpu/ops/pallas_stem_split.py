@@ -261,3 +261,57 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                       out_channels=64)
 
     return pallas_l2(xl1, k2, interpret=interpret)
+
+
+def detector_stem_fast_path(model, variables, layer_config, attn_temp,
+                            interpret: bool = False):
+    """Build the Pallas-stem fast path for a DyYOLO-style detector.
+
+    Returns (stem_fn, tail_model, tail_variables) where
+    ``stem_fn(x_preprocessed)`` runs the two fused stem layers and
+    ``tail_model.apply(tail_variables, stem_out)`` runs the rest — or None
+    if the config doesn't start with the DyConv(32,3,1), DyConv(64,3,2)
+    stem this kernel implements.
+
+    The tail model is the same interpreter over ``layer_config[2:]``; its
+    auto-assigned module names shift by exactly the two consumed
+    DyConvModules, so the variables tree is re-keyed accordingly.
+    """
+    cfg = [list(t) for t in layer_config]
+    if len(cfg) < 2 or cfg[0] != ["DyConv", 32, 3, 1] \
+            or cfg[1] != ["DyConv", 64, 3, 2]:
+        return None
+
+    from ..models.dy_yolo import DyYOLO
+
+    p = variables["params"]["net"]
+    s = variables["batch_stats"]["net"]
+
+    def rekey(tree):
+        out = {}
+        for k, v in tree.items():
+            if k.startswith("DyConvModule_"):
+                i = int(k.split("_")[1])
+                if i < 2:
+                    continue
+                out[f"DyConvModule_{i - 2}"] = v
+            else:
+                out[k] = v
+        return out
+
+    tail_variables = {
+        "params": {"net": rekey(p)},
+        "batch_stats": {"net": rekey(s)},
+    }
+    tail_model = DyYOLO(layer_config=tuple(tuple(t) for t in cfg[2:]),
+                        attn_temperature=attn_temp,
+                        n_anchors=model.n_anchors, dtype=model.dtype)
+
+    dy0p, dy0s = p["DyConvModule_0"], s["DyConvModule_0"]
+    dy1p, dy1s = p["DyConvModule_1"], s["DyConvModule_1"]
+
+    def stem_fn(x):
+        return fused_stem_forward(x, dy0p, dy0s, dy1p, dy1s, attn_temp,
+                                  interpret=interpret)
+
+    return stem_fn, tail_model, tail_variables
