@@ -56,7 +56,8 @@ def _emit(metric, fps):
 
 
 def _detector_bench(name, hparams, batch, input_size, iters, warmup,
-                    pre_nms_topk=512, metric_suffix="", microbatch=None):
+                    pre_nms_topk=512, metric_suffix="", microbatch=None,
+                    pallas_stem=True):
     """``microbatch``: process the batch in sequential sub-batches (for
     workloads whose activations exceed single-chip HBM, e.g. DySOEM
     b32 @ 1280px needs ~25 GB vs 15.75 GB available)."""
@@ -69,8 +70,11 @@ def _detector_bench(name, hparams, batch, input_size, iters, warmup,
     model = build_model(name, hparams, dtype=jnp.bfloat16)
     x_init = jnp.zeros((mb, input_size, input_size, 3), jnp.float32)
     variables = model.init(jax.random.key(0), x_init, train=False)
-    detect = make_detector(model, hparams, input_size,
-                           pre_nms_topk=pre_nms_topk)
+    # fused Pallas stem fast path (silently falls back when the model's
+    # layer_config doesn't start with the DyConv 3->32/32->64 stem)
+    detect = make_detector(
+        model, hparams, input_size, pre_nms_topk=pre_nms_topk,
+        pallas_stem_variables=variables if pallas_stem else None)
     imgs = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, size=(mb, input_size, input_size, 3), dtype=np.uint8))
 
@@ -217,6 +221,8 @@ def main():
                     help="model name override (default: params.yaml)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for a fast CI smoke run")
+    ap.add_argument("--no-pallas-stem", action="store_true",
+                    help="disable the fused Pallas stem fast path")
     ap.add_argument("--config", type=int, default=None,
                     choices=[1, 2, 3, 4, 5, 6],
                     help="BASELINE.json workload config (see module doc)")
@@ -243,7 +249,9 @@ def main():
     if args.config is None:
         _detector_bench(name, hparams, batch, input_size, args.iters,
                         args.warmup,
-                        pre_nms_topk=256 if args.smoke else 512)
+                        pre_nms_topk=256 if args.smoke else 512,
+                        pallas_stem=not args.no_pallas_stem and
+                        not args.smoke)
     elif args.config == 1:
         base = load_config("conf", model="baseline")
         _detector_bench("baseline", base.model.hparams, 1, 640, args.iters,
