@@ -49,6 +49,37 @@ def test_dp_matches_single_device(rng):
                                    rtol=5e-2, atol=5e-3)
 
 
+def test_sharded_detector_matches_single_device(rng):
+    """Data-axis pjit inference == single-device inference, bit-for-bit
+    shapes and near-identical values (same program, different layout)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from uavdet_tpu.inference import make_detector
+
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    x0 = jnp.zeros((8, INPUT, INPUT, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    imgs = (rng.uniform(size=(8, INPUT, INPUT, 3)) * 255).astype(np.uint8)
+
+    det1 = make_detector(model, HP, INPUT, pre_nms_topk=64, max_det=16,
+                         compute_dtype=jnp.float32)
+    d1 = det1(variables, jnp.asarray(imgs))
+
+    mesh = make_mesh(n_data=8, n_fsdp=1)
+    rep = NamedSharding(mesh, P())
+    vars_r = jax.tree.map(lambda v: jax.device_put(v, rep), variables)
+    imgs_s = jax.device_put(imgs, NamedSharding(mesh, P("data")))
+    det8 = make_detector(model, HP, INPUT, pre_nms_topk=64, max_det=16,
+                         compute_dtype=jnp.float32, mesh=mesh)
+    d8 = det8(vars_r, imgs_s)
+
+    assert "data" in str(d8.boxes.sharding.spec)
+    np.testing.assert_array_equal(np.asarray(d1.valid), np.asarray(d8.valid))
+    np.testing.assert_allclose(np.asarray(d1.boxes), np.asarray(d8.boxes),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d1.scores), np.asarray(d8.scores),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fsdp_step_runs(rng):
     model = DyYOLO(layer_config=TINY_DY_CONFIG)
     tx = build_optimizer(HP)

@@ -107,7 +107,8 @@ def make_detector(model, hparams, input_size: int,
                   score_threshold: float = 0.001,
                   nms_iou: float = 0.5, pre_nms_topk: int = 512,
                   max_det: int = 300, compute_dtype=jnp.bfloat16,
-                  pallas_stem_variables=None, pallas_stem_interpret=False):
+                  pallas_stem_variables=None, pallas_stem_interpret=False,
+                  mesh=None):
     """Build the jitted end-to-end detector.
 
     Returns ``detect(variables, images) -> Detections``; ``images`` may be
@@ -119,9 +120,23 @@ def make_detector(model, hparams, input_size: int,
     (ops/pallas_stem_split.py) with weights BOUND AT BUILD TIME from this
     variables tree — the ``variables`` argument of ``detect`` is then
     ignored for those two layers.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis. When
+    given, the detector is compiled as a pjit program: images batch-sharded
+    on 'data', params replicated, results batch-sharded — the inference
+    counterpart of ``parallel.make_sharded_train_step`` (the reference has
+    no multi-device inference at all; SURVEY §2.6).
     """
     anchors = np.asarray(hparams.anchors, np.float32)
     bbox_loss_fn = str(hparams.bbox_loss_fn)
+
+    jit_kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        jit_kw = dict(
+            in_shardings=(NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P("data"))),
+            out_shardings=NamedSharding(mesh, P("data")))
 
     stem = None
     if pallas_stem_variables is not None and hasattr(model, "layer_config"):
@@ -131,7 +146,7 @@ def make_detector(model, hparams, input_size: int,
             getattr(model, "attn_temperature", 30.0),
             interpret=pallas_stem_interpret)
 
-    @jax.jit
+    @partial(jax.jit, **jit_kw)
     def detect(variables, images) -> Detections:
         x = preprocess(images, input_size, compute_dtype)
         if stem is not None:
