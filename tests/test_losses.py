@@ -66,8 +66,14 @@ def _t_ciou_loss(a, b, eps=1e-7):
     return (1 - iou + rho2 / c2 + alpha * v).mean()
 
 
-def oracle_loss(p_bboxes, p_objs, grids, bbox_loss_fn):
-    """Per-sample × per-head loop, following model/_base.py:155-212."""
+def oracle_loss(p_bboxes, p_objs, grids, bbox_loss_fn,
+                iou_mode="elementwise"):
+    """Per-sample × per-head loop, following model/_base.py:155-212.
+
+    ``iou_mode='col0'`` reproduces the reference's ``ious[:, 0]`` exactly
+    (utils/postprocess.py:82): every positive pred scored against the
+    FIRST positive target (torch boolean indexing order = row-major
+    (A,S,S) flatten, the same order the JAX implementation uses)."""
     batch = p_bboxes[0].shape[0]
     bbox_losses, obj_losses = torch.tensor(0.0), torch.tensor(0.0)
 
@@ -100,7 +106,10 @@ def oracle_loss(p_bboxes, p_objs, grids, bbox_loss_fn):
             ious_full = _t_pairwise_iou(
                 _t_box_cxcywh_to_xyxy(ip[pos]),
                 _t_box_cxcywh_to_xyxy(t_bbox[pos]))
-            ious = torch.diagonal(ious_full)
+            if iou_mode == "col0":
+                ious = ious_full[:, 0]
+            else:
+                ious = torch.diagonal(ious_full)
 
             # build target (model/_base.py:250-270)
             tb = t_bbox.clone()
@@ -169,14 +178,15 @@ def test_bce_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def _run_parity(rng, mode):
+def _run_parity(rng, mode, iou_mode="elementwise"):
     outs, grids = _make_case(rng)
     got: LossBreakdown = yolo_loss(
         outs, grids, ANCHORS, HEAD_SCALES,
         LB["obj_scales_w"], LB["bbox_w"], LB["objectness_w"], LB["no_obj_w"],
-        bbox_loss_fn=mode)
+        bbox_loss_fn=mode, iou_mode=iou_mode)
     want_total, want_bbox, want_obj = oracle_loss(
-        [o.bbox for o in outs], [o.obj for o in outs], grids, mode)
+        [o.bbox for o in outs], [o.obj for o in outs], grids, mode,
+        iou_mode=iou_mode)
     np.testing.assert_allclose(float(got.bbox), float(want_bbox),
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(float(got.obj), float(want_obj),
@@ -191,6 +201,21 @@ def test_loss_parity_mse(rng):
 
 def test_loss_parity_ciou(rng):
     _run_parity(rng, "ciou")
+
+
+def test_loss_parity_col0_mse(rng):
+    """Reference-exact iou_mode='col0' (the ious[:,0] quirk) matches a
+    torch oracle that uses ious_full[:, 0]; also asserts the two modes
+    actually DIFFER on this multi-positive-cell case (so the test has
+    discriminating power)."""
+    _run_parity(rng, "mse", iou_mode="col0")
+    outs, grids = _make_case(rng)
+    args = (ANCHORS, HEAD_SCALES, LB["obj_scales_w"], LB["bbox_w"],
+            LB["objectness_w"], LB["no_obj_w"])
+    elem = yolo_loss(outs, grids, *args, bbox_loss_fn="mse")
+    col0 = yolo_loss(outs, grids, *args, bbox_loss_fn="mse",
+                     iou_mode="col0")
+    assert float(elem.obj) != float(col0.obj)
 
 
 def test_loss_is_differentiable(rng):

@@ -39,6 +39,58 @@ def test_split_stem_matches_flax(rng):
     assert np.corrcoef(g.ravel(), r.ravel())[0, 1] > 0.999
 
 
+def test_split_stem_height_not_divisible_by_64(rng):
+    """H=96 (divisible by 16, NOT by 64): pallas_l1 over-allocates
+    Hp=152, so H must be threaded through to pallas_l2 explicitly —
+    recovering it as Hp-24=128 produced garbage rows and a wrong output
+    shape (ADVICE r1, medium)."""
+    model = DyYOLO(layer_config=CFG, attn_temperature=30.0)
+    x = jnp.asarray(rng.uniform(size=(2, 96, 128, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    p = variables["params"]["net"]
+    s = variables["batch_stats"]["net"]
+
+    got = fused_stem_forward(
+        x, p["DyConvModule_0"], s["DyConvModule_0"],
+        p["DyConvModule_1"], s["DyConvModule_1"], 30.0, interpret=True)
+
+    from uavdet_tpu.models.layers import DyConvModule
+    m0 = DyConvModule(32, 3, 1, 1)
+    m1 = DyConvModule(64, 3, 2, 1)
+    y = m0.apply({"params": p["DyConvModule_0"],
+                  "batch_stats": s["DyConvModule_0"]}, x, 30.0, False)
+    want = m1.apply({"params": p["DyConvModule_1"],
+                     "batch_stats": s["DyConvModule_1"]}, y, 30.0, False)
+
+    assert got.shape == want.shape == (2, 48, 64, 64)
+    g = np.asarray(got, np.float32)
+    r = np.asarray(want, np.float32)
+    np.testing.assert_allclose(g, r, rtol=0.1, atol=0.03)
+    assert np.corrcoef(g.ravel(), r.ravel())[0, 1] > 0.999
+
+
+def test_detector_falls_back_when_size_not_strip_aligned(rng):
+    """input_size % 16 != 0 must silently skip the Pallas fast path."""
+    from uavdet_tpu.inference import make_detector
+
+    model = DyYOLO(layer_config=CFG, attn_temperature=30.0)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 72, 72, 3)),
+                           train=False)
+
+    class HP:
+        anchors = [[[40, 30], [60, 46], [54, 36]],
+                   [[18, 14], [24, 18], [30, 12]]]
+        bbox_loss_fn = "mse"
+
+    det = make_detector(model, HP, 72, compute_dtype=jnp.float32,
+                        pre_nms_topk=16, max_det=4,
+                        pallas_stem_variables=variables,
+                        pallas_stem_interpret=True)
+    x = jnp.asarray((rng.uniform(size=(1, 72, 72, 3)) * 255).astype(np.uint8))
+    d = det(variables, x)  # must not raise
+    assert np.isfinite(np.asarray(d.scores)).all()
+
+
 def test_detector_pallas_stem_path_matches(rng):
     """make_detector(pallas_stem_variables=...) must produce (nearly) the
     same detections as the standard flax path."""

@@ -74,6 +74,78 @@ def test_trainer_resume(pipes, tmp_path):
     assert np.isfinite(final["val_loss"])
 
 
+def test_check_val_every_n_epoch(pipes, tmp_path):
+    """With check_val_every_n_epoch=2 and 3 epochs, validation runs only
+    in epoch 1 (0-indexed) — Lightning semantics (reference train.py:55)."""
+    tr, va = pipes
+    cfg = _config(tmp_path, epochs=3, check_val_every_n_epoch=2)
+    t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dvv")))
+    calls = []
+    orig = t.validate
+    t.validate = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    final = t.fit()
+    # 2 train batches/epoch, val_check_interval=1.0 → 1 val call per
+    # eligible epoch; only epoch index 1 is eligible out of 3
+    assert len(calls) == 1
+    assert np.isfinite(final["val_loss"])
+
+
+def test_validate_reuses_detector(pipes, tmp_path):
+    """eval_ap validation must reuse ONE jitted detector across passes
+    (a fresh jit closure per epoch would retrace every time; ADVICE r1)."""
+    tr, va = pipes
+    cfg = _config(tmp_path, epochs=2, eval_ap=True)
+    t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dvd")))
+    seen = []
+    orig_validate = t.validate
+
+    def spy(state, eval_step):
+        out = orig_validate(state, eval_step)
+        seen.append(t._detector)
+        return out
+
+    t.validate = spy
+    t.fit()
+    assert len(seen) >= 2
+    assert all(d is seen[0] for d in seen), "detector rebuilt per pass"
+
+
+def test_epoch_interval_lr_schedule():
+    """build_optimizer(steps_per_epoch=N) holds the cyclic schedule at the
+    epoch index t//N (the reference's Lightning steps CyclicLR per EPOCH;
+    optim.py deviation note)."""
+    import jax.numpy as jnp
+    from uavdet_tpu.training.optim import build_optimizer, \
+        cyclic_triangular2
+
+    class HP:
+        lr = 0.1
+        lr_scheduler = True
+
+        class optim:
+            name = "SGD"
+            momentum = 0.0  # update == -lr(step) · grad exactly
+
+    def observed_lrs(tx, n):
+        params = {"w": jnp.ones(())}
+        st = tx.init(params)
+        g = {"w": jnp.ones(())}
+        lrs = []
+        for _ in range(n):
+            u, st = tx.update(g, st, params)
+            lrs.append(-float(u["w"]))
+        return lrs
+
+    inner = cyclic_triangular2(0.01, 0.1)
+    per_step = observed_lrs(build_optimizer(HP), 4)
+    per_epoch = observed_lrs(build_optimizer(HP, steps_per_epoch=2), 4)
+    np.testing.assert_allclose(
+        per_step, [float(inner(t)) for t in range(4)], rtol=1e-6)
+    np.testing.assert_allclose(
+        per_epoch, [float(inner(t // 2)) for t in range(4)], rtol=1e-6)
+    assert per_step[2] != per_epoch[2]  # the modes genuinely differ
+
+
 def test_nan_guard_skips_poisoned_batches(pipes, tmp_path):
     """Inject a NaN image batch; the guard must skip it and finish."""
     import numpy as np

@@ -139,7 +139,8 @@ def make_detector(model, hparams, input_size: int,
             out_shardings=NamedSharding(mesh, P("data")))
 
     stem = None
-    if pallas_stem_variables is not None and hasattr(model, "layer_config"):
+    if (pallas_stem_variables is not None and hasattr(model, "layer_config")
+            and input_size % 16 == 0):  # kernel emits whole 16-row strips
         from .ops.pallas_stem_split import detector_stem_fast_path
         stem = detector_stem_fast_path(
             model, pallas_stem_variables, model.layer_config,

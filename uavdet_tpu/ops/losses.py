@@ -15,9 +15,19 @@ sample, so plain global means would NOT match; we reduce with per-sample
 mask sums instead.
 
 IoU soft labels (utils/postprocess.py:48-82): IoU between the decoded
-prediction (w/h scaled by grid-unit anchors in 'mse' mode) and the *raw* grid
-target at each positive cell, with gradients stopped (the reference uses
-``.detach().clone()``).
+prediction (w/h scaled by grid-unit anchors in 'mse' mode) and a grid
+target, with gradients stopped (the reference uses ``.detach().clone()``).
+
+DELIBERATE DEVIATION (``iou_mode``): the reference's ``calculate_iou``
+returns ``ious[:, 0]`` — every positive prediction's IoU against the
+FIRST positive target of that (sample, head) in (A, S, S) flatten order
+(utils/postprocess.py:80-82) — almost certainly an indexing bug (the
+diagonal was intended). Default ``iou_mode='elementwise'`` pairs each
+positive prediction with ITS OWN cell's target; the two agree whenever a
+(sample, head) has exactly one positive cell, and differ under
+multi-anchor assignment. ``iou_mode='col0'`` reproduces the reference's
+exact semantics for reference-loss parity protocols (PARITY.md
+'col-0 quirk').
 """
 
 from typing import List, NamedTuple, Sequence, Tuple
@@ -64,9 +74,14 @@ def yolo_loss(
     objectness_w: float,
     no_obj_w: float,
     bbox_loss_fn: str = "mse",
+    iou_mode: str = "elementwise",
 ) -> LossBreakdown:
     """Compute the total YOLO loss for all heads; mirrors
-    ``YOLOHead.compute_metrics`` (reference model/_base.py:155-212)."""
+    ``YOLOHead.compute_metrics`` (reference model/_base.py:155-212).
+
+    ``iou_mode``: 'elementwise' (default — each positive cell's soft label
+    is its own IoU) or 'col0' (reference-exact: IoU against the first
+    positive target of the sample/head; see module docstring)."""
     anchors = jnp.asarray(anchors, jnp.float32)
     batch = outs[0].obj.shape[0]
     bbox_losses = jnp.zeros((batch,), jnp.float32)
@@ -90,9 +105,19 @@ def yolo_loss(
             # (reference utils/postprocess.py:65-66)
             wh = iou_pred[..., 2:] * scaled_anchors[:, None, None, :]
             iou_pred = jnp.concatenate([iou_pred[..., :2], wh], axis=-1)
+        target_for_iou = t_bbox_raw
+        if iou_mode == "col0":
+            # reference-exact: IoU of every positive pred against the FIRST
+            # positive target in (A,S,S) flatten order (postprocess.py:82)
+            bsz = t_obj.shape[0]
+            idx0 = jnp.argmax(pos.reshape(bsz, -1), axis=1)
+            t0 = jnp.take_along_axis(
+                t_bbox_raw.reshape(bsz, -1, 4), idx0[:, None, None], axis=1)
+            target_for_iou = jnp.broadcast_to(
+                t0[:, 0][:, None, None, None, :], t_bbox_raw.shape)
         ious = box_iou_elementwise(
             box_convert(iou_pred, "cxcywh", "xyxy"),
-            box_convert(t_bbox_raw, "cxcywh", "xyxy"))
+            box_convert(target_for_iou, "cxcywh", "xyxy"))
 
         # --- build training target --------------------------------------
         if bbox_loss_fn == "mse":

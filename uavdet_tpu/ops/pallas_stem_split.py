@@ -188,11 +188,19 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
     return xl1, sums
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_l2(xl1, k2_aug, h: jnp.ndarray = None, interpret: bool = False):
-    """xl1 (B,32,Hp,W) bf16 from pallas_l1 → (B, H/2, W/2, 64) NHWC."""
+@partial(jax.jit, static_argnames=("h", "interpret"))
+def pallas_l2(xl1, k2_aug, h: int = None, interpret: bool = False):
+    """xl1 (B,32,Hp,W) bf16 from pallas_l1 → (B, H/2, W/2, 64) NHWC.
+
+    ``h`` is the TRUE image height; pallas_l1 over-allocates
+    Hp = ceil(H/64)·64 + 24, so it cannot be recovered from the array shape
+    unless H is divisible by 64. H must be divisible by 2·TR2 = 16 (the
+    kernel emits whole TR2-row output strips)."""
     b, _, hp, w = xl1.shape
-    h = hp - 24  # pallas_l1 allocates Hp = H + 24 (H divisible by 64)
+    if h is None:
+        h = hp - 24  # exact only when H was divisible by 64
+    if h % (2 * TR2) != 0:
+        raise ValueError(f"pallas_l2 needs H divisible by {2 * TR2}, got {h}")
     w_pad = -(-w // 128) * 128
     if w_pad != w:
         xl1 = jnp.pad(xl1, ((0, 0), (0, 0), (0, 0), (0, w_pad - w)))
@@ -260,7 +268,7 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                       bn1p["bias"], bn1s["mean"], bn1s["var"],
                       out_channels=64)
 
-    return pallas_l2(xl1, k2, interpret=interpret)
+    return pallas_l2(xl1, k2, h=h, interpret=interpret)
 
 
 def detector_stem_fast_path(model, variables, layer_config, attn_temp,

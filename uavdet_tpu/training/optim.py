@@ -31,14 +31,30 @@ def cyclic_triangular2(base_lr: float, max_lr: float,
 
 
 def build_optimizer(hparams, grad_batches: int = 1,
-                    grad_clip_val: float | None = None):
+                    grad_clip_val: float | None = None,
+                    steps_per_epoch: int | None = None):
     """Build the optax chain from a model.hparams config node.
 
     hparams needs: lr, lr_scheduler (bool), optim.{name, momentum}.
+
+    ``steps_per_epoch``: DEVIATION NOTE — the reference returns CyclicLR
+    through Lightning's scheduler dict without an ``interval`` key, so
+    Lightning steps it once per EPOCH (model/_base.py:299-309); with
+    step_size_up=4000 that keeps the reference near base_lr=lr/10
+    essentially forever. Default here (None) steps the schedule per
+    optimizer step — the behavior CyclicLR is designed for. Pass the
+    number of optimizer steps per epoch to reproduce the reference's
+    per-epoch stepping for parity training runs (the schedule then sees
+    ``step // steps_per_epoch``, i.e. the epoch index).
     """
     lr = float(hparams.lr)
     if hparams.lr_scheduler:
-        lr = cyclic_triangular2(lr / 10, lr)
+        sched = cyclic_triangular2(lr / 10, lr)
+        if steps_per_epoch:
+            inner, n = sched, int(steps_per_epoch)
+            def sched(step):
+                return inner(step // n)
+        lr = sched
 
     name = hparams.optim.name
     if name == "SGD":

@@ -67,11 +67,27 @@ class Trainer:
         self.nan_guard = bool(tcfg.get("nan_guard", False))
         self.nan_guard_retries = int(tcfg.get("nan_guard_retries", 3))
 
+        # Lightning's check_val_every_n_epoch (reference train.py:55):
+        # within-epoch validation (val_check_interval) only runs in
+        # eligible epochs.
+        self.check_val_every_n_epoch = int(
+            tcfg.get("check_val_every_n_epoch", 1) or 1)
+
         hparams = config.model.hparams
         self.model = build_model(config.model.name, hparams)
+        # lr_scheduler_interval: 'step' (default) or 'epoch' — the latter
+        # reproduces the reference's Lightning per-epoch CyclicLR stepping
+        # (see optim.build_optimizer deviation note)
+        steps_per_epoch = None
+        if str(hparams.get("lr_scheduler_interval", "step")) == "epoch":
+            steps_per_epoch = max(
+                1, _limit(len(train_pipe), self.train_limit)
+                // max(1, self.grad_batches))
         self.tx = build_optimizer(
             hparams, grad_batches=self.grad_batches,
-            grad_clip_val=tcfg.get("grad_clip_val"))
+            grad_clip_val=tcfg.get("grad_clip_val"),
+            steps_per_epoch=steps_per_epoch)
+        self._detector = None  # built lazily ONCE (jit closure reuse)
 
         n_devices = int(tcfg.get("devices", 1) or 1)
         self.mesh = None
@@ -158,7 +174,9 @@ class Trainer:
                 self.metrics.log("train/obj_loss", float(m["obj_loss"]))
                 self.metrics.next_step()
 
-                if (i + 1) % val_every == 0 or (i + 1) == n_train:
+                val_epoch = (epoch + 1) % self.check_val_every_n_epoch == 0
+                if val_epoch and ((i + 1) % val_every == 0
+                                  or (i + 1) == n_train):
                     val = self.validate(state, eval_step)
                     self.metrics.log("val/loss", val["val_loss"])
                     self.metrics.log("val/bbox_loss", val["val_bbox_loss"])
@@ -191,9 +209,14 @@ class Trainer:
             from ..inference import make_detector
             from ..ops.map import MeanAveragePrecision
             ap_metric = MeanAveragePrecision()
-            detect = make_detector(self.model, self.config.model.hparams,
-                                   self.input_size,
-                                   compute_dtype=self.compute_dtype)
+            if self._detector is None:
+                # build ONCE — a fresh jax.jit closure per validation pass
+                # would retrace every epoch (5-10 min on the remote-compile
+                # tunnel; ADVICE r1)
+                self._detector = make_detector(
+                    self.model, self.config.model.hparams, self.input_size,
+                    compute_dtype=self.compute_dtype)
+            detect = self._detector
         for i, batch in enumerate(iter(self.val_pipe)):
             if i >= n_val:
                 break
