@@ -168,6 +168,116 @@ def test_duplicate_scores_stable_order():
     assert out["map_50"] == pytest.approx(1.0)
 
 
+# --------------------------------------------------------------------------
+# Adversarial protocol goldens — hand-traced against pycocotools semantics
+# (what torchmetrics delegates to; reference utils/metrics.py:88-135). Each
+# case is constructed so a wrong protocol choice flips the result.
+# --------------------------------------------------------------------------
+
+
+def test_nonignored_gt_preferred_over_higher_iou_ignored():
+    """pycocotools matching prefers ANY non-ignored GT over an ignored one,
+    even at lower IoU. Area 'small': GT_A 10x10 (area 100, in range),
+    GT_B 40x40 (area 1600, medium → ignored in 'small'). Det 24x24 has
+    IoU 100/576≈0.174 with A and 576/1600=0.36 with B; at thr 0.15 both
+    qualify, but the det must take A → TP → map_small=1. A highest-IoU
+    matcher would take B → det ignored → recall 0 → map_small=0."""
+    m = MeanAveragePrecision(iou_thresholds=[0.15])
+    m.update([_box(50, 50, 24, 24)], [0.9],
+             [_box(50, 50, 10, 10), _box(50, 50, 40, 40)])
+    out = m.compute()
+    assert out["map_small"] == pytest.approx(1.0)
+
+
+def test_unmatched_det_outside_area_range_is_ignored_not_fp():
+    """'small' eval: an unmatched 100x100 det (area 10000, out of range)
+    ranked ABOVE the TP must be dropped as ignored, not counted FP.
+    Hand-trace if wrongly FP: order [FP .95, TP .9] → prec envelope 0.5 →
+    AP 0.5. Correct: AP 1.0."""
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([_box(300, 300, 100, 100), _box(50, 50, 10, 10)], [0.95, 0.9],
+             [_box(50, 50, 10, 10)])
+    out = m.compute()
+    assert out["map_small"] == pytest.approx(1.0)
+
+
+def test_unmatched_det_inside_area_range_is_fp():
+    """Control for the previous golden: the same stray det but 10x10
+    (area 100, IN range) IS a false positive → map_small 0.5."""
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([_box(300, 300, 10, 10), _box(50, 50, 10, 10)], [0.95, 0.9],
+             [_box(50, 50, 10, 10)])
+    out = m.compute()
+    assert out["map_small"] == pytest.approx(0.5)
+
+
+def test_score_tie_across_images_keeps_update_order():
+    """Equal scores across images: pycocotools sorts with MERGESORT, so
+    the image updated first keeps rank priority. Image 0 contributes an
+    unmatched det (FP), image 1 a perfect det (TP), both score 0.5.
+    Stable order [FP, TP] → rec [0,1], prec [0,0.5] → envelope 0.5 →
+    AP 0.5. An unstable sort that flips them would give AP 1.0."""
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([_box(300, 300, 20, 20)], [0.5], np.zeros((0, 4)))
+    m.update([_box(50, 50, 20, 20)], [0.5], [_box(50, 50, 20, 20)])
+    out = m.compute()
+    assert out["map_50"] == pytest.approx(0.5)
+
+
+def test_mar_key_per_max_detection_threshold():
+    """Reference passes max_detection_thresholds=[300]*3 → the result
+    dict carries ONE mar_300 key (torchmetrics names keys after the
+    thresholds; utils/metrics.py:114-118). 2 GT, 1 TP → mar_300 = 0.5."""
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([_box(50, 50, 20, 20)], [0.9],
+             [_box(50, 50, 20, 20), _box(150, 150, 20, 20)])
+    out = m.compute()
+    assert out["mar_300"] == pytest.approx(0.5)
+    assert out["mar_max_det"] == out["mar_300"]
+    assert out["map_per_class"] == -1.0
+    assert out["mar_300_per_class"] == -1.0
+    assert out["classes"] == 1
+
+
+def test_mar_1_10_100_thresholds():
+    """torchmetrics-default thresholds [1,10,100]: with 2 TPs, mar_1 caps
+    each image at its single highest-score det (→ recall 0.5) while
+    mar_10/mar_100 see both (→ 1.0); AP always uses the LAST threshold."""
+    m = MeanAveragePrecision(iou_thresholds=[0.5],
+                             max_detection_thresholds=[1, 10, 100])
+    gts = [_box(50, 50, 20, 20), _box(150, 150, 20, 20)]
+    m.update(gts, [0.9, 0.8], gts)
+    out = m.compute()
+    assert out["mar_1"] == pytest.approx(0.5)
+    assert out["mar_10"] == pytest.approx(1.0)
+    assert out["mar_100"] == pytest.approx(1.0)
+    assert out["map_50"] == pytest.approx(1.0)
+
+
+def test_mar_area_buckets():
+    """mar_{small,medium,large}: recall per GT-area bucket at the last
+    max-det threshold; buckets with no GT report -1."""
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([_box(50, 50, 10, 10)], [0.9],
+             [_box(50, 50, 10, 10), _box(300, 300, 50, 50)])  # small+medium
+    out = m.compute()
+    assert out["mar_small"] == pytest.approx(1.0)
+    assert out["mar_medium"] == pytest.approx(0.0)
+    assert out["mar_large"] == -1.0
+
+
+def test_ignored_gt_not_in_recall_denominator():
+    """A GT outside the area range must not inflate the recall
+    denominator: 1 small GT (matched) + 1 large GT → recall_small = 1/1,
+    not 1/2."""
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update([_box(50, 50, 10, 10)], [0.9],
+             [_box(50, 50, 10, 10), _box(300, 300, 200, 200)])
+    out = m.compute()
+    assert out["mar_small"] == pytest.approx(1.0)
+    assert out["map_small"] == pytest.approx(1.0)
+
+
 def test_iou_threshold_sweep_monotone(rng):
     # AP must be non-increasing in the IoU threshold
     gt = [_box(50, 50, 20, 20)]

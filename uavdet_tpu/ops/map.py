@@ -45,14 +45,27 @@ def _iou_matrix(a, b):
 
 
 class MeanAveragePrecision:
+    """torchmetrics-compatible single-class mAP.
+
+    ``max_detection_thresholds`` mirrors torchmetrics: recall is reported
+    once per distinct threshold as ``mar_{t}`` (the reference passes
+    ``[max_det]*3`` → one ``mar_300`` key, utils/metrics.py:114-118;
+    torchmetrics' own default ``[1, 10, 100]`` yields
+    ``mar_1/mar_10/mar_100``). AP uses the LAST threshold, as
+    pycocotools/torchmetrics do."""
+
     def __init__(self, box_format: str = "cxcywh",
                  iou_thresholds: Optional[Sequence[float]] = None,
-                 max_det: int = 300):
+                 max_det: int = 300,
+                 max_detection_thresholds: Optional[Sequence[int]] = None):
         self.box_format = box_format
         self.iou_thresholds = np.asarray(
             iou_thresholds if iou_thresholds is not None
             else [0.5 + 0.05 * i for i in range(10)])
-        self.max_det = max_det
+        self.max_detection_thresholds = tuple(
+            max_detection_thresholds if max_detection_thresholds is not None
+            else [max_det] * 3)
+        self.max_det = self.max_detection_thresholds[-1]
         self._images: List[dict] = []
 
     def _to_xyxy(self, boxes):
@@ -74,17 +87,21 @@ class MeanAveragePrecision:
             scores=scores[order],
             gt=self._to_xyxy(target_boxes)))
 
-    def _evaluate_area(self, area: str):
-        """pycocotools-style accumulate for one area range.
+    def _evaluate_area(self, area: str, max_det: Optional[int] = None):
+        """pycocotools-style accumulate for one area range at one
+        max-detections-per-image cap.
 
         → (ap_per_iou: (T,), ar: (T,)) with -1 where no GT."""
+        max_det = self.max_det if max_det is None else max_det
         lo, hi = _AREA_RNG[area]
         T = len(self.iou_thresholds)
         all_scores, all_tp = [], []  # per det: score, tp-flag per threshold
         n_gt = 0
 
         for img in self._images:
-            gt, det, scores = img["gt"], img["det"], img["scores"]
+            gt = img["gt"]
+            det = img["det"][:max_det]
+            scores = img["scores"][:max_det]
             gt_area = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
             gt_ignore = (gt_area < lo) | (gt_area > hi)
             n_gt += int((~gt_ignore).sum())
@@ -122,7 +139,7 @@ class MeanAveragePrecision:
                         ignore_det[ti, d] = True
                     else:
                         tp[ti, d] = True
-            all_scores.append(img["scores"])
+            all_scores.append(scores)
             all_tp.append((tp, ignore_det))
 
         if n_gt == 0:
@@ -152,19 +169,34 @@ class MeanAveragePrecision:
         return ap, ar
 
     def compute(self) -> Dict[str, float]:
+        """Full torchmetrics-style result dict (utils/metrics.py:119-135):
+        map/map_50/map_75, map_{small,medium,large}, one ``mar_{t}`` per
+        distinct max-detections threshold, mar_{small,medium,large} (at the
+        last threshold), plus the single-class placeholders torchmetrics
+        emits when class_metrics is off."""
+        def _mean(v):
+            ok = v > -1
+            return float(v[ok].mean()) if ok.any() else -1.0
+
         out = {}
         ap_all, ar_all = self._evaluate_area("all")
-        valid = ap_all > -1
-        out["map"] = float(ap_all[valid].mean()) if valid.any() else -1.0
+        out["map"] = _mean(ap_all)
         t = list(np.round(self.iou_thresholds, 2))
         out["map_50"] = float(ap_all[t.index(0.5)]) if 0.5 in t else -1.0
         out["map_75"] = float(ap_all[t.index(0.75)]) if 0.75 in t else -1.0
-        out["mar_max_det"] = (float(ar_all[ar_all > -1].mean())
-                              if (ar_all > -1).any() else -1.0)
+        out["mar_max_det"] = _mean(ar_all)  # legacy alias for mar_{last}
+        for md in dict.fromkeys(self.max_detection_thresholds):  # distinct
+            _, ar = (self._evaluate_area("all", md)
+                     if md != self.max_det else (None, ar_all))
+            out[f"mar_{md}"] = _mean(ar)
         for area in ("small", "medium", "large"):
-            ap, _ = self._evaluate_area(area)
-            v = ap > -1
-            out[f"map_{area}"] = float(ap[v].mean()) if v.any() else -1.0
+            ap, ar = self._evaluate_area(area)
+            out[f"map_{area}"] = _mean(ap)
+            out[f"mar_{area}"] = _mean(ar)
+        # single-class placeholders (torchmetrics with class_metrics=False)
+        out["map_per_class"] = -1.0
+        out[f"mar_{self.max_det}_per_class"] = -1.0
+        out["classes"] = 1
         return out
 
     def reset(self):
