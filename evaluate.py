@@ -67,7 +67,8 @@ def main():
 
     pipe = DataPipeline(records, input_size=input_size,
                         batch_size=args.batch, train=False, shuffle=False,
-                        drop_last=False)
+                        drop_last=False,
+                        workers=int(cfg.dataset.get("workers", 1) or 1))
     detect = make_detector(model, hparams, input_size)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 

@@ -101,6 +101,78 @@ def test_pipeline_batches(dataset_root):
     assert np.isfinite(np.asarray(b.image)).all()
 
 
+def test_pipeline_workers_match_sequential(dataset_root):
+    """workers>1 (native batch decode + thread pool) must reproduce the
+    sequential val pipeline exactly — deterministic path, no augment RNG."""
+    recs = build_index(os.path.join(dataset_root, "val"), seed=11)
+    seq = DataPipeline(recs, input_size=64, batch_size=2, train=False,
+                       seed=11)
+    par = DataPipeline(recs, input_size=64, batch_size=2, train=False,
+                       seed=11, workers=4)
+    for a, b in zip(iter(seq), iter(par)):
+        np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes))
+        np.testing.assert_array_equal(np.asarray(a.box_mask),
+                                      np.asarray(b.box_mask))
+
+
+def test_pipeline_workers_train_runs(dataset_root):
+    """Parallel train pipeline: valid augmented batches, full epoch."""
+    recs = build_index(os.path.join(dataset_root, "train"), seed=11)
+    pipe = DataPipeline(recs, input_size=64, batch_size=4, train=True,
+                        seed=11, workers=4)
+    batches = list(iter(pipe))
+    assert len(batches) == len(pipe)
+    for b in batches:
+        assert b.image.shape == (4, 64, 64, 3)
+        assert np.isfinite(np.asarray(b.image)).all()
+        assert bool(b.box_mask[:, 0].all())
+    # per-sample RNG: two epochs draw different affines
+    b2 = next(iter(pipe))
+    assert not np.array_equal(np.asarray(batches[0].image),
+                              np.asarray(b2.image))
+
+
+def test_pipeline_host_throughput_scales(dataset_root):
+    """The parallel producer must not be slower than sequential on a
+    multi-sample manifest (smoke-level throughput guard; the real gain
+    shows on many-core hosts)."""
+    import time
+    recs = build_index(os.path.join(dataset_root, "train"), seed=11) * 4
+    seq = DataPipeline(recs, input_size=64, batch_size=4, train=False,
+                       seed=11)
+    par = DataPipeline(recs, input_size=64, batch_size=4, train=False,
+                       seed=11, workers=4)
+    t0 = time.perf_counter()
+    n_seq = sum(1 for _ in seq._batches())
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_par = sum(1 for _ in par._batches())
+    t_par = time.perf_counter() - t0
+    assert n_seq == n_par
+    assert t_par < t_seq * 2.0  # no pathological slowdown
+
+
+def test_pipeline_format_custom(dataset_root):
+    """format='custom' mirrors _custom_collate_fn: stacked equal-count box
+    tensors (reference dataset/_helper.py:113-129)."""
+    recs = build_index(os.path.join(dataset_root, "val"), seed=11)
+    pipe = DataPipeline(recs, input_size=64, batch_size=2, train=False,
+                        seed=11, fmt="custom")
+    b = next(iter(pipe))
+    assert b.image.shape[0] == 2
+    assert bool(b.box_mask[:, 0].all())
+    # unequal counts must raise (torch.stack contract)
+    with pytest.raises(ValueError):
+        pipe._collate([np.zeros((64, 64, 3), np.float32)] * 2,
+                      [np.zeros((1, 4), np.float32),
+                       np.zeros((2, 4), np.float32)])
+    with pytest.raises(ValueError):
+        DataPipeline(recs, input_size=64, batch_size=2, train=False,
+                     fmt="nonsense")
+
+
 def test_mosaic_golden():
     imgs = [np.full((100, 100, 3), i * 40, np.uint8) for i in range(4)]
     boxes = [np.array([10, 10, 50, 50], np.float32) for _ in range(4)]

@@ -42,14 +42,17 @@ def main():
     input_size = int(ds.image_size[0])
     seed = int(config.train.seed or 11)
 
+    workers = int(ds.get("workers", 1) or 1)
+    fmt = str(ds.get("format", "yolo"))
     train_pipe = DataPipeline(
         load_manifest(ds.train_loader_path), input_size=input_size,
         batch_size=int(ds.batch_size), train=True, seed=seed,
-        mosaic=bool(ds.mosaic), fs=fs)
+        mosaic=bool(ds.mosaic), fs=fs, workers=workers, fmt=fmt)
     print("Train manifest loaded...")
     val_pipe = DataPipeline(
         load_manifest(ds.val_loader_path), input_size=input_size,
-        batch_size=int(ds.batch_size), train=False, seed=seed, fs=fs)
+        batch_size=int(ds.batch_size), train=False, seed=seed, fs=fs,
+        workers=workers, fmt=fmt)
     print("Validation manifest loaded...")
 
     train(config, train_pipe, val_pipe, resume=resume)

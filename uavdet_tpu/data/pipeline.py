@@ -116,7 +116,21 @@ class DataPipeline:
     def __init__(self, records: List[dict], input_size: int, batch_size: int,
                  train: bool, seed: int = 11, max_boxes: int = 8,
                  mosaic: bool = False, shuffle: Optional[bool] = None,
-                 drop_last: bool = True, fs=None, prefetch: int = 2):
+                 drop_last: bool = True, fs=None, prefetch: int = 2,
+                 workers: int = 1, fmt: str = "yolo"):
+        """``workers`` (reference ``dataset.workers``,
+        dataset/_helper.py:176): >1 decodes samples in parallel — plain
+        local JPEGs go through the native C++ thread-pool batch decoder
+        (native/uavloader.cc::uav_decode_resize_batch), everything else
+        through a thread pool over the python path. Augmentation RNG is
+        then per-sample (seeded from (seed, epoch, position)) — same
+        distribution as the sequential stream, different draws, exactly
+        like torch's worker processes.
+
+        ``fmt`` (reference ``dataset.format``, dataset/_helper.py:178):
+        'yolo' keeps per-sample variable box lists (padded+masked);
+        'custom' mirrors _custom_collate_fn's stacked-tensor contract —
+        exactly one box per sample, stacked (B, 1, 4)."""
         self.records = records
         self.input_size = input_size
         self.batch_size = batch_size
@@ -128,6 +142,10 @@ class DataPipeline:
         self.seed = seed
         self.fs = fs
         self.prefetch = prefetch
+        self.workers = max(1, int(workers))
+        if fmt not in ("yolo", "custom"):
+            raise ValueError(f"unknown dataset format: {fmt!r}")
+        self.fmt = fmt
         self.transform = make_transform(input_size, train)
         self._epoch = 0
 
@@ -136,6 +154,22 @@ class DataPipeline:
         if not self.drop_last and len(self.records) % self.batch_size:
             n += 1
         return n
+
+    def _post_resize(self, img: np.ndarray, boxes: np.ndarray,
+                     w0: int, h0: int, rng) -> tuple:
+        """Box rescale (+train affine +degenerate drop) for an image the
+        decoder already resized to (input_size, input_size)."""
+        s = self.input_size
+        boxes = boxes * np.asarray([s / w0, s / h0, s / w0, s / h0],
+                                   np.float32)
+        if self.train:
+            mat = _affine_matrix(rng, s)
+            img, boxes = _apply_affine(img, boxes, mat)
+            if len(boxes):
+                keep = ((boxes[:, 2] - boxes[:, 0]) > 1.0) & (
+                    (boxes[:, 3] - boxes[:, 1]) > 1.0)
+                boxes = boxes[keep]
+        return img, boxes.astype(np.float32)
 
     def _sample(self, rec: dict, rng: np.random.Generator):
         if self.mosaic and self.train:
@@ -164,20 +198,55 @@ class DataPipeline:
                         img.ctypes.data_as(
                             ctypes.POINTER(ctypes.c_float))):
                     h0, w0 = _image_hw(path)
-                    s = self.input_size
-                    boxes = boxes * np.asarray(
-                        [s / w0, s / h0, s / w0, s / h0], np.float32)
-                    if self.train:
-                        mat = _affine_matrix(rng, s)
-                        img, boxes = _apply_affine(img, boxes, mat)
-                        if len(boxes):
-                            keep = ((boxes[:, 2] - boxes[:, 0]) > 1.0) & (
-                                (boxes[:, 3] - boxes[:, 1]) > 1.0)
-                            boxes = boxes[keep]
-                    return img, boxes.astype(np.float32)
+                    return self._post_resize(img, boxes, w0, h0, rng)
 
         img = _load_image(path, self.fs)
         return self.transform(img, boxes, rng)
+
+    def _produce_samples(self, order, rng) -> Iterator[tuple]:
+        """Yield (img, boxes) per manifest position, in order.
+
+        workers == 1: the sequential path (single shared RNG stream).
+        workers > 1: chunks are decoded in parallel — local JPEGs through
+        the native thread-pool batch decoder, the rest via a thread pool —
+        with a per-sample RNG derived from (seed, epoch, position)."""
+        if self.workers == 1:
+            for i in order:
+                yield self._sample(self.records[i], rng)
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+        from .native import decode_resize_batch, native_available
+
+        rngs = [np.random.default_rng(s) for s in np.random.SeedSequence(
+            [self.seed, self._epoch]).spawn(len(order))]
+        chunk = max(self.batch_size * 4, self.workers * 4)
+        use_native = (not (self.mosaic and self.train) and self.fs is None
+                      and native_available())
+        with ThreadPoolExecutor(self.workers) as ex:
+            for c0 in range(0, len(order), chunk):
+                idxs = order[c0:c0 + chunk]
+                recs = [self.records[i] for i in idxs]
+                results: List = [None] * len(recs)
+                npos = [j for j, r in enumerate(recs) if use_native
+                        and r["img_path"].endswith(".jpg")]
+                if npos:
+                    paths = [recs[j]["img_path"] for j in npos]
+                    imgs, ok = decode_resize_batch(
+                        paths, self.input_size, threads=self.workers)
+                    hw = list(ex.map(_image_hw, paths))
+                    for k, j in enumerate(npos):
+                        if ok[k]:
+                            results[j] = self._post_resize(
+                                imgs[k],
+                                np.asarray([recs[j]["bbox"]], np.float32),
+                                hw[k][1], hw[k][0], rngs[c0 + j])
+                rest = [j for j in range(len(recs)) if results[j] is None]
+                for j, res in zip(rest, ex.map(
+                        lambda j: self._sample(recs[j], rngs[c0 + j]),
+                        rest)):
+                    results[j] = res
+                yield from results
 
     def _batches(self) -> Iterator[BatchData]:
         rng = np.random.default_rng(self.seed + self._epoch)
@@ -185,10 +254,9 @@ class DataPipeline:
                  else np.arange(len(self.records)))
 
         images, boxes_list = [], []
-        for i in order:
-            img, boxes = self._sample(self.records[i], rng)
+        for img, boxes in self._produce_samples(order, rng):
             if len(boxes) == 0:
-                continue  # drop-empty (collate parity)
+                continue  # drop-empty (collate parity, both reference fns)
             images.append(img)
             boxes_list.append(boxes)
             if len(images) == self.batch_size:
@@ -200,6 +268,15 @@ class DataPipeline:
 
     def _collate(self, images, boxes_list) -> BatchData:
         b = len(images)
+        if self.fmt == "custom":
+            # _custom_collate_fn contract (reference _helper.py:113-129):
+            # torch.stack over per-sample box tensors — requires equal
+            # box counts per sample
+            counts = {len(bx) for bx in boxes_list}
+            if len(counts) > 1:
+                raise ValueError(
+                    "format='custom' stacks box tensors; got unequal "
+                    f"per-sample box counts {sorted(counts)}")
         boxes = np.zeros((b, self.max_boxes, 4), np.float32)
         mask = np.zeros((b, self.max_boxes), bool)
         for i, bx in enumerate(boxes_list):
