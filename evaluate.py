@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--ckpt", default="last")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--dump", default=None,
+                    help="write per-image detections (xyxy px + scores) "
+                         "to this JSON path — the parity-protocol artifact")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +77,7 @@ def main():
 
     metric = MeanAveragePrecision()
     n_img, t_total = 0, 0.0
+    dumped = []
     for batch in iter(pipe):
         t0 = time.perf_counter()
         det = detect(variables, batch.image)
@@ -95,7 +99,15 @@ def main():
                                  (g[:, 1] + g[:, 3]) / 2,
                                  g[:, 2] - g[:, 0], g[:, 3] - g[:, 1]], -1)
             metric.update(cxcywh, scores[i][v], g_cxcywh)
+            if args.dump is not None:
+                dumped.append({"boxes_xyxy": b.tolist(),
+                               "scores": scores[i][v].tolist(),
+                               "gt_xyxy": g.tolist()})
             n_img += 1
+
+    if args.dump is not None:
+        with open(args.dump, "w") as f:
+            json.dump({"images": dumped}, f)
 
     out = metric.compute()
     out["images"] = n_img

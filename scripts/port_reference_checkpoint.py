@@ -54,8 +54,9 @@ def main():
 
     state = TrainState(params=params, batch_stats=stats,
                        opt_state=ref.opt_state, step=ref.step)
-    cm = CheckpointManager(args.out_dir)
-    cm._save(state, os.path.join(args.out_dir, "last"))
+    out_dir = os.path.abspath(args.out_dir)  # orbax requires absolute paths
+    cm = CheckpointManager(out_dir)
+    cm._save(state, os.path.join(out_dir, "last"))
     n = sum(np.asarray(v).size for v in jax.tree_util.tree_leaves(params))
     print(f"ported {n/1e6:.1f}M params -> {args.out_dir}/last")
 

@@ -109,6 +109,41 @@ def test_dyconv_equals_mix_then_conv(rng):
     assert np.isfinite(np.asarray(got)).all()
 
 
+def test_dyconv_1x1_mix_first_equals_stacked(rng):
+    """The 1x1 DyConv mix-first batched-matmul path must equal the
+    stacked-expert conv + attention contraction (both reference-exact by
+    linearity)."""
+    B, H, W, Cin, Cout, E = 3, 16, 16, 24, 12, 4
+    m = DyConvModule(out_channels=Cout, kernel_size=1, stride=1, padding=0,
+                     num_experts=E)
+    x = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float32))
+    vars_ = m.init(jax.random.key(1), x, 30.0)
+    got = m.apply(vars_, x, 30.0)
+
+    p = vars_["params"]
+    pooled = np.asarray(x).mean(axis=(1, 2))
+    a = np.maximum(pooled @ np.asarray(p["attn_fc1"]["kernel"]), 0)
+    a = a @ np.asarray(p["attn_fc2"]["kernel"]) + np.asarray(
+        p["attn_fc2"]["bias"])
+    attn = np.asarray(jax.nn.softmax(jnp.asarray(a) / 30.0, axis=-1))
+
+    # oracle: stacked conv then contraction (the generic path)
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(p["experts"]), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = np.asarray(y).reshape(B, H, W, E, Cout)
+    pre_bn = np.einsum("bhweo,be->bhwo", y, attn)
+
+    # apply BN+SiLU the same way the module does (inference stats)
+    s = vars_["batch_stats"]["BatchNorm_0"]
+    bnp = p["BatchNorm_0"]
+    norm = (pre_bn - np.asarray(s["mean"])) / np.sqrt(
+        np.asarray(s["var"]) + 1e-5)
+    want = norm * np.asarray(bnp["scale"]) + np.asarray(bnp["bias"])
+    want = want * (1 / (1 + np.exp(-want)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
 def test_space_to_depth_matches_strided_slicing(rng):
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
     y = space_to_depth(x, 2)

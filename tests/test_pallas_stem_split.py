@@ -69,6 +69,26 @@ def test_split_stem_height_not_divisible_by_64(rng):
     assert np.corrcoef(g.ravel(), r.ravel())[0, 1] > 0.999
 
 
+def test_split_stem_uint8_matches_float(rng):
+    """uint8 frames straight into the fused stem (/255 folded into k1,
+    byte-GAP attention) must match the float path on x/255."""
+    model = DyYOLO(layer_config=CFG, attn_temperature=30.0)
+    u8 = (rng.uniform(size=(2, 64, 128, 3)) * 255).astype(np.uint8)
+    xf = jnp.asarray(u8.astype(np.float32) / 255.0)
+    variables = model.init(jax.random.key(0), xf, train=False)
+    p = variables["params"]["net"]
+    s = variables["batch_stats"]["net"]
+    args = (p["DyConvModule_0"], s["DyConvModule_0"],
+            p["DyConvModule_1"], s["DyConvModule_1"], 30.0)
+
+    got = fused_stem_forward(jnp.asarray(u8), *args, interpret=True)
+    want = fused_stem_forward(xf, *args, interpret=True)
+    g = np.asarray(got, np.float32)
+    r = np.asarray(want, np.float32)
+    np.testing.assert_allclose(g, r, rtol=0.05, atol=0.02)
+    assert np.corrcoef(g.ravel(), r.ravel())[0, 1] > 0.999
+
+
 def test_detector_falls_back_when_size_not_strip_aligned(rng):
     """input_size % 16 != 0 must silently skip the Pallas fast path."""
     from uavdet_tpu.inference import make_detector

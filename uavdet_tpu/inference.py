@@ -149,11 +149,18 @@ def make_detector(model, hparams, input_size: int,
 
     @partial(jax.jit, **jit_kw)
     def detect(variables, images) -> Detections:
-        x = preprocess(images, input_size, compute_dtype)
         if stem is not None:
             stem_fn, tail_model, tail_vars = stem
-            outs = tail_model.apply(tail_vars, stem_fn(x), train=False)
+            if (images.dtype == jnp.uint8
+                    and images.shape[1:3] == (input_size, input_size)):
+                # raw bytes straight into the fused stem: /255 is folded
+                # into its kernel matrix, no preprocessing pass at all
+                z = stem_fn(images)
+            else:
+                z = stem_fn(preprocess(images, input_size, compute_dtype))
+            outs = tail_model.apply(tail_vars, z, train=False)
         else:
+            x = preprocess(images, input_size, compute_dtype)
             outs = model.apply(variables, x, train=False)
         scales = tuple(input_size // o.obj.shape[2] for o in outs)
         boxes, scores = decode_all_heads(outs, anchors, scales, bbox_loss_fn)

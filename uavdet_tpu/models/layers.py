@@ -209,7 +209,16 @@ class DyConvModule(nn.Module):
                 and x.shape[2] % 2 == 0)
                or (self.stride == 1 and x.shape[1] % 4 == 0
                    and x.shape[2] % 4 == 0))
-        if use_fast_conv3x3(in_c, k, self.stride) and self.padding == 1 \
+        if k == 1 and self.stride == 1:
+            # 1x1 dynamic conv: the per-sample mixed kernel is just an
+            # (in_c, out_c) matrix — mix FIRST (tiny einsum), then one
+            # batched matmul. 4x fewer FLOPs than the stacked-expert conv
+            # + contraction and no E-wide intermediate (measured ~2.5x
+            # faster at the FPN's 768->256 @40 placement).
+            e3 = experts.reshape(in_c, self.num_experts, self.out_channels)
+            kb = jnp.einsum("ieo,be->bio", e3, attn.astype(x.dtype))
+            y = jnp.einsum("bhwi,bio->bhwo", x, kb)
+        elif use_fast_conv3x3(in_c, k, self.stride) and self.padding == 1 \
                 and div:
             # mix per-sample kernels first (tiny einsum), then one
             # patchified batched matmul — avoids the E× intermediate that

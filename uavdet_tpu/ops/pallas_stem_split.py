@@ -69,35 +69,58 @@ def make_l1_kernel(w: int, h: int, w_pad: int):
 
 def make_l2_kernel(w: int, h: int, w_pad: int):
     half = w // 2
-    r1 = 2 * TR2 + 1
 
     def kern(a_ref, k2_ref, out_ref, p2_ref, xw_ref, folded_ref, sem0, sem1):
         bi = pl.program_id(0)
         si = pl.program_id(1)
+        n_s = pl.num_programs(1)
 
-        # window: prev 8 rows + current 24 rows → halo at local offset 7
-        @pl.when(si > 0)
-        def _():
-            start = pl.multiple_of(si * 2 * TR2 - 8, 8)
-            d = pltpu.make_async_copy(
-                a_ref.at[bi, :, pl.ds(start, 8), :], xw_ref.at[:, 0:8, :],
-                sem0)
-            d.start()
-            d.wait()
+        # Double-buffered window DMA: strip si's 32-row window
+        # [16·si − 8, 16·si + 24) was started during strip si−1 (saves the
+        # DMA stall — measured 12.5 → 10.0 ms at bs=16 @640). Strip 0's
+        # top 8 rows don't exist (zero-filled: they realize the conv's top
+        # padding) so its copy covers only the 24 current rows.
+        def start_dma(s, slot):
+            @pl.when(s == 0)
+            def _():
+                pltpu.make_async_copy(
+                    a_ref.at[bi, :, pl.ds(0, 24), :],
+                    xw_ref.at[slot, :, 8:32, :], sem0.at[slot]).start()
+
+            @pl.when(s > 0)
+            def _():
+                start = pl.multiple_of(s * 2 * TR2 - 8, 8)
+                pltpu.make_async_copy(
+                    a_ref.at[bi, :, pl.ds(start, 32), :],
+                    xw_ref.at[slot, :, 0:32, :], sem0.at[slot]).start()
 
         @pl.when(si == 0)
         def _():
-            xw_ref[:, 0:8, :] = jnp.zeros((32, 8, w_pad), jnp.bfloat16)
+            xw_ref[0, :, 0:8, :] = jnp.zeros((32, 8, w_pad), jnp.bfloat16)
+            start_dma(si, 0)
 
-        cur = pl.multiple_of(si * 2 * TR2, 2 * TR2)
-        d1 = pltpu.make_async_copy(
-            a_ref.at[bi, :, pl.ds(cur, 24), :], xw_ref.at[:, 8:32, :], sem1)
-        d1.start()
-        d1.wait()
+        slot = si % 2
+
+        @pl.when(si == 0)
+        def _():
+            pltpu.make_async_copy(
+                a_ref.at[bi, :, pl.ds(0, 24), :],
+                xw_ref.at[0, :, 8:32, :], sem0.at[0]).wait()
+
+        @pl.when(si > 0)
+        def _():
+            start = pl.multiple_of(si * 2 * TR2 - 8, 8)
+            pltpu.make_async_copy(
+                a_ref.at[bi, :, pl.ds(start, 32), :],
+                xw_ref.at[slot, :, 0:32, :], sem0.at[slot]).wait()
+
+        @pl.when(si + 1 < n_s)
+        def _():
+            start_dma(si + 1, (si + 1) % 2)
 
         # local L1 rows for L2 taps: l = 16·si − 1 + j ↔ local 7 + j
         # zero out-of-image rows (bottom garbage / top pad)
-        xl1 = xw_ref[:, :, 0:w]
+        xl1 = xw_ref[slot, :, :, 0:w]
         row = jax.lax.broadcasted_iota(jnp.int32, (32, w), 0) + (
             si * 2 * TR2 - 8)
         mask = jnp.where((row >= 0) & (row < h), 1.0, 0.0).astype(
@@ -139,9 +162,13 @@ def make_l2_kernel(w: int, h: int, w_pad: int):
             preferred_element_type=jnp.float32)      # (64, TR2, w)
         col = jax.lax.broadcasted_iota(jnp.int32, (w, half), 0)
         tgt = jax.lax.broadcasted_iota(jnp.int32, (w, half), 1)
-        sel = jnp.where(col == 2 * tgt, 1.0, 0.0)
+        # bf16 even-column selection (an exact copy of values that are
+        # about to be bf16-rounded anyway; f32 select runs the MXU at
+        # half rate)
+        sel = jnp.where(col == 2 * tgt, 1.0, 0.0).astype(jnp.bfloat16)
         acc2 = jax.lax.dot_general(
-            acc2, sel, dimension_numbers=(((2,), (0,)), ((), ())),
+            acc2.astype(jnp.bfloat16), sel,
+            dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         out_ref[0] = (acc2 * jax.nn.sigmoid(acc2)).astype(jnp.bfloat16)
     return kern
@@ -157,9 +184,13 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
     w_pad = -(-(w + 2) // 128) * 128
     n_a = -(-h // RA)
     hp = n_a * RA + 24
-    # rows: 8 top pad; bottom sized so the last strip's 80-row window fits
+    # rows: 8 top pad; bottom sized so the last strip's 80-row window fits.
     bottom = (n_a - 1) * RA + (RA + 16) - 8 - h
-    xt = jnp.pad(x.astype(jnp.bfloat16).transpose(0, 3, 1, 2),
+    # Transpose BEFORE the dtype cast: for uint8 frames the NHWC→NCHW
+    # relayout moves half the bytes (measured 0.5 ms vs 2.1 ms at
+    # bs=16@640) — the /255 normalization is folded into k1_aug by the
+    # caller, so uint8 values flow into the matmul directly.
+    xt = jnp.pad(x.transpose(0, 3, 1, 2).astype(jnp.bfloat16),
                  ((0, 0), (0, 0), (8, max(bottom, 1)),
                   (1, w_pad - w - 1)))
 
@@ -221,9 +252,9 @@ def pallas_l2(xl1, k2_aug, h: int = None, interpret: bool = False):
                                        jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((289, TR2, w), jnp.bfloat16),
-            pltpu.VMEM((32, 32, w_pad), jnp.bfloat16),
+            pltpu.VMEM((2, 32, 32, w_pad), jnp.bfloat16),  # 2 DMA slots
             pltpu.VMEM((32, 16, 2 * w), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -235,11 +266,15 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                        attn_temp: float, interpret: bool = False):
     """Full two-pass fused stem from DyYOLO parameter trees.
 
-    x: (B, H, W, 3) preprocessed frames in [0, 1].
+    x: (B, H, W, 3) — either preprocessed frames in [0, 1] (any float
+    dtype) or RAW uint8 frames: for uint8 the /255 normalization is
+    folded into the k1 kernel matrix and the GAP for the L1 attention is
+    computed directly on the bytes, so no separate preprocessing pass
+    ever touches HBM.
     dy{0,1}_params/stats: the DyConvModule_{0,1} param / batch_stats
     subtrees (attn_fc1, attn_fc2, experts + BatchNorm_0).
-    → (B, H/2, W/2, 64) bf16 NHWC — numerically the output of the first
-    two DyConv+BN+SiLU layers in inference mode.
+    → (B, H/2, W/2, 64) bf16 NHWC — numerically the output of
+    preprocess + the first two DyConv+BN+SiLU layers in inference mode.
     """
     from .pallas_stem import mix_and_fold
 
@@ -250,14 +285,27 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
         return jax.nn.softmax(a.astype(jnp.float32) / attn_temp, axis=-1)
 
     b, h, w, _ = x.shape
-    xf = x.astype(jnp.float32)
+    is_u8 = x.dtype == jnp.uint8
 
-    # L1 attention pools the input
-    attn1 = attn_of(jnp.mean(xf, axis=(1, 2)), dy0_params)
+    # L1 attention pools the (normalized) input. For uint8, sum the bytes
+    # with an MXU dot (f32 accumulation; 0..255 is exact in bf16) — a
+    # plain mean would re-read the frame through the 3-lane NHWC layout.
+    if is_u8:
+        ones = jnp.ones((h * w,), jnp.bfloat16)
+        channel_sums = jnp.einsum(
+            "p,bpc->bc", ones, x.reshape(b, h * w, 3).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        pooled1 = channel_sums / float(h * w * 255.0)
+    else:
+        pooled1 = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+    attn1 = attn_of(pooled1, dy0_params)
     bn0p, bn0s = dy0_params["BatchNorm_0"], dy0_stats["BatchNorm_0"]
     k1 = mix_and_fold(dy0_params["experts"], attn1, bn0p["scale"],
                       bn0p["bias"], bn0s["mean"], bn0s["var"],
                       out_channels=32)
+    if is_u8:
+        # conv(x/255, K) == conv(x, K/255); bias column stays
+        k1 = jnp.concatenate([k1[..., :-1] / 255.0, k1[..., -1:]], axis=-1)
 
     xl1, sums = pallas_l1(x, k1, interpret=interpret)
 
