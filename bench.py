@@ -13,8 +13,9 @@ bf16 capability — the roofline is ~1,260 fps; we report against the stated
 Default run: DyYOLO @640 bs=16. ``--config N`` selects the BASELINE.json
 workload configs:
   1  BaselineModel, RGB-only, batch 1 @ 640
-  2  DyYOLO dual-stream RGB+IR (modalities batched, reference semantics:
-     separate samples per modality), batch 8 @ 640, NMS included
+  2  DyYOLO dual-stream: 8 native-res RGB (1920x1080) + 8 native-res IR
+     (640x512) uint8 frames, preprocess_dual alignment fused in-jit,
+     NMS included; fps over the 16 frames
   3  DySOEM_SimFPN on IR stream, batch 32 @ 1280
   4  RTMUAVDet full pipeline: preproc + detect + batched NMS (streaming)
   5  RTMUAVDet training loop (fwd+bwd) steps/s
@@ -90,6 +91,35 @@ def _detector_bench(name, hparams, batch, input_size, iters, warmup,
         f" (microbatch {mb})" if mb != batch else "")
     _emit(f"fps/chip end-to-end (preproc+detect+NMS) {name} @ "
           f"{input_size}px bs={batch}{suffix}", fps)
+
+
+def _dual_stream_bench(name, hparams, batch, input_size, iters, warmup):
+    """cfg2: native-resolution RGB (1920x1080) + IR (640x512) uint8 frames
+    through ``preprocess_dual`` (on-device cross-modality alignment) →
+    detector → NMS, ONE jitted program; fps counted over 2B frames
+    (the reference feeds modalities as separate samples,
+    AntiUAVDataset.py:110-123)."""
+    import jax
+    import jax.numpy as jnp
+    from uavdet_tpu.inference import make_detector
+    from uavdet_tpu.models import build_model
+
+    model = build_model(name, hparams, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((2 * batch, input_size, input_size, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    detect = make_detector(model, hparams, input_size,
+                           pallas_stem_variables=variables, dual=True)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.integers(0, 256, size=(batch, 1080, 1920, 3),
+                                   dtype=np.uint8))
+    ir = jnp.asarray(rng.integers(0, 256, size=(batch, 512, 640, 3),
+                                  dtype=np.uint8))
+
+    dt = _timer(lambda: detect(variables, rgb, ir),
+                lambda o: float(jnp.sum(o.scores)), iters, warmup)
+    _emit(f"fps/chip end-to-end (dual-preproc+detect+NMS) {name} @ "
+          f"{input_size}px 2x{batch} native-res frames "
+          "[cfg2 rgb+ir dual-stream]", 2 * batch * iters / dt)
 
 
 def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False):
@@ -191,7 +221,7 @@ def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640):
     state = init_state(model, tx, jax.random.key(0), input_size,
                        batch_size=batch)
     step = make_train_step(model, tx, hparams, input_size,
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=jnp.bfloat16, donate=True)
     rng = np.random.default_rng(0)
     bd = BatchData(
         image=jnp.asarray(rng.uniform(
@@ -221,6 +251,11 @@ def main():
                     help="model name override (default: params.yaml)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for a fast CI smoke run")
+    ap.add_argument("--microbatch", type=int, default=16,
+                    help="cfg3: sequential sub-batch size (full bs=32 @1280"
+                    " exceeds HBM by 47 MB — a 12.5 GB 4x-lane-padded"
+                    " layout XLA picks for the 32-channel stem output;"
+                    " microbatch 16 fits with the decode/s2d fixes)")
     ap.add_argument("--no-pallas-stem", action="store_true",
                     help="disable the fused Pallas stem fast path")
     ap.add_argument("--config", type=int, default=None,
@@ -257,16 +292,15 @@ def main():
         _detector_bench("baseline", base.model.hparams, 1, 640, args.iters,
                         args.warmup, metric_suffix=" [cfg1 rgb]")
     elif args.config == 2:
-        # dual-stream: RGB and IR frames batched together (the reference
-        # treats modalities as separate samples, AntiUAVDataset.py:110-123)
-        _detector_bench("DyYOLO", load_config(
+        _dual_stream_bench("DyYOLO", load_config(
             "conf", model="dy-yolo").model.hparams, 8, 640, args.iters,
-            args.warmup, metric_suffix=" [cfg2 rgb+ir dual-stream]")
+            args.warmup)
     elif args.config == 3:
         soem = load_config("conf", model="dy-soem_fpn")
         _detector_bench("DySOEM_SimFPN", soem.model.hparams, 32, 1280,
                         min(args.iters, 10), args.warmup,
-                        metric_suffix=" [cfg3 ir thermal]", microbatch=8)
+                        metric_suffix=" [cfg3 ir thermal]",
+                        microbatch=args.microbatch)
     elif args.config == 4:
         _rtm_detector_bench(8, 640, args.iters, args.warmup)
     elif args.config == 5:

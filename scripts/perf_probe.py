@@ -140,7 +140,25 @@ def main():
 
         return jax.vmap(per_image)(boxes, scores)
 
-    t("decode+topk+NMS", lambda: post(outs),
+    t("decode+topk+NMS (full-grid decode)", lambda: post(outs),
+      lambda o: float(jnp.sum(o)))
+
+    from uavdet_tpu.inference import decode_topk_heads
+
+    @jax.jit
+    def post_topk(outs):
+        scales = tuple(S // o.obj.shape[2] for o in outs)
+        boxes, scores = decode_topk_heads(outs, anchors, scales, 512)
+        scores = jnp.where(scores >= 0.001, scores, -jnp.inf)
+
+        def per_image(bx, sc):
+            top_sc, top_i = jax.lax.top_k(sc, 512)
+            keep, _, _ = nms(bx[top_i], top_sc, 0.5, 300)
+            return jnp.where(keep >= 0, top_sc[jnp.maximum(keep, 0)], 0.0)
+
+        return jax.vmap(per_image)(boxes, scores)
+
+    t("decode+topk+NMS (logit-topk decode)", lambda: post_topk(outs),
       lambda o: float(jnp.sum(o)))
 
     if not args.layers:

@@ -107,6 +107,74 @@ def test_detector_end_to_end_trained_signal(rng):
     assert dist[valid].min() < INPUT * 0.25, (dist[valid], gt)
 
 
+@pytest.mark.parametrize("mode", ["mse", "ciou"])
+def test_decode_topk_matches_full_decode(rng, mode):
+    """decode_topk_heads == decode_all_heads followed by per-head top-k on
+    scores, for both bbox_loss_fn modes."""
+    from uavdet_tpu.inference import decode_topk_heads
+
+    sizes = [4, 8, 16]
+    outs = []
+    for s in sizes:
+        outs.append(DetectionResults(
+            bbox=jnp.asarray(rng.normal(size=(2, 3, s, s, 4)).astype(
+                np.float32)),
+            obj=jnp.asarray(rng.normal(size=(2, 3, s, s, 1)).astype(
+                np.float32))))
+    scales = [16, 8, 4]
+    k = 24
+    fb, fs = decode_all_heads(outs, HP_ANCHORS, scales, mode)
+    want_b, want_s = [], []
+    off = 0
+    for s in sizes:
+        n = 3 * s * s
+        sc = fs[:, off:off + n]
+        bx = fb[:, off:off + n]
+        kk = min(k, n)
+        ts, ti = jax.lax.top_k(sc, kk)
+        want_s.append(ts)
+        want_b.append(jnp.take_along_axis(bx, ti[..., None], axis=1))
+        off += n
+    want_b = np.concatenate([np.asarray(w) for w in want_b], 1)
+    want_s = np.concatenate([np.asarray(w) for w in want_s], 1)
+
+    got_b, got_s = decode_topk_heads(outs, HP_ANCHORS, scales, k)
+    if mode == "mse":
+        # mse-mode full decode adds grid/anchor in a different op order;
+        # values agree to float tolerance
+        np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_b), want_b,
+                                   rtol=1e-5, atol=1e-4)
+    else:
+        np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_b), want_b,
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_dual_detector_matches_single_stream(rng):
+    """make_detector(dual=True) on native-res RGB+IR == the single-stream
+    detector on the equivalent preprocessed modality-major batch."""
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    x0 = jnp.zeros((4, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    rgb = jnp.asarray(rng.integers(0, 256, (2, 108, 192, 3), dtype=np.uint8))
+    ir = jnp.asarray(rng.integers(0, 256, (2, 51, 64, 3), dtype=np.uint8))
+
+    det_dual = make_detector(model, HP, 64, compute_dtype=jnp.float32,
+                             pre_nms_topk=64, max_det=10, dual=True)
+    out_d = det_dual(variables, rgb, ir)
+    assert out_d.boxes.shape == (4, 10, 4)
+
+    det_single = make_detector(model, HP, 64, compute_dtype=jnp.float32,
+                               pre_nms_topk=64, max_det=10)
+    x = preprocess_dual(rgb, ir, 64, jnp.float32)
+    out_s = det_single(variables, x)
+    np.testing.assert_allclose(np.asarray(out_d.boxes),
+                               np.asarray(out_s.boxes), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_d.valid),
+                                  np.asarray(out_s.valid))
+
+
 def test_validate_targets():
     grids = encode_yolo_targets(
         jnp.asarray([[[0.2, 0.2, 0.6, 0.6]]], jnp.float32),

@@ -89,6 +89,74 @@ def test_split_stem_uint8_matches_float(rng):
     assert np.corrcoef(g.ravel(), r.ravel())[0, 1] > 0.999
 
 
+def test_pallas_block_down_matches_flax(rng):
+    """Fused ResidualBlock(64) + 3x3-s2→128 kernel (interpret) vs the flax
+    modules, including the top/bottom zero-padding rows."""
+    from uavdet_tpu.models.layers import CNNBlock, ResidualBlock
+    from uavdet_tpu.ops.pallas_block import fold_cnnblock, pallas_block_down
+
+    h2, w = 32, 96
+    x = jnp.asarray(rng.normal(size=(2, h2, w, 64)).astype(np.float32))
+    rb = ResidualBlock(64, num_repeats=1)
+    rb_v = rb.init(jax.random.key(1), x, False)
+    cn = CNNBlock(128, kernel_size=(3, 3), stride=(2, 2), padding=1)
+    y_ref = rb.apply(rb_v, x, False)
+    cn_v = cn.init(jax.random.key(2), y_ref, False)
+    want = np.asarray(cn.apply(cn_v, y_ref, False))      # (2, 16, 48, 128)
+
+    # channel-major input with 8 garbage over-rows (NaN to prove masking)
+    x_cm = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.bfloat16)
+    x_cm = jnp.concatenate(
+        [x_cm, jnp.full((2, 64, 8, w), jnp.nan, jnp.bfloat16)], axis=2)
+    got = pallas_block_down(
+        x_cm,
+        fold_cnnblock(rb_v["params"]["CNNBlock_0"],
+                      rb_v["batch_stats"]["CNNBlock_0"]),
+        fold_cnnblock(rb_v["params"]["CNNBlock_1"],
+                      rb_v["batch_stats"]["CNNBlock_1"]),
+        fold_cnnblock(cn_v["params"], cn_v["batch_stats"]),
+        h2=h2, interpret=True)
+    g = np.asarray(jnp.transpose(got, (0, 2, 3, 1)), np.float32)
+    assert g.shape == want.shape
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g, want, rtol=0.1, atol=0.05)
+    assert np.corrcoef(g.ravel(), want.ravel())[0, 1] > 0.999
+
+
+def test_detector_pallas_block_path_matches(rng):
+    """Detector with the REAL DyYOLO prefix (stem + ["B",1] + [128,3,2]) —
+    the pallas_block fast path engages and must match the flax path."""
+    from uavdet_tpu.inference import make_detector
+
+    cfg = (("DyConv", 32, 3, 1), ("DyConv", 64, 3, 2), ("B", 1),
+           (128, 3, 2), ("B", 8), (256, 3, 2), (128, 1, 1), (256, 3, 1),
+           ("S",), (64, 1, 1), ("U",), (64, 1, 1), (128, 3, 1), ("S",))
+    model = DyYOLO(layer_config=cfg, attn_temperature=30.0)
+    x = jnp.asarray((rng.uniform(size=(2, 64, 64, 3)) * 255).astype(
+        np.uint8))
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    class HP:
+        anchors = [[[40, 30], [60, 46], [54, 36]],
+                   [[18, 14], [24, 18], [30, 12]]]
+        bbox_loss_fn = "mse"
+
+    std = make_detector(model, HP, 64, compute_dtype=jnp.float32,
+                        pre_nms_topk=64, max_det=8)
+    fast = make_detector(model, HP, 64, compute_dtype=jnp.float32,
+                         pre_nms_topk=64, max_det=8,
+                         pallas_stem_variables=variables,
+                         pallas_stem_interpret=True)
+    d1 = std(variables, x)
+    d2 = fast(variables, x)
+    np.testing.assert_allclose(np.asarray(d2.scores), np.asarray(d1.scores),
+                               rtol=0.05, atol=0.01)
+    np.testing.assert_allclose(np.asarray(d2.boxes[:, 0]),
+                               np.asarray(d1.boxes[:, 0]),
+                               rtol=0.1, atol=2.0)
+
+
 def test_detector_falls_back_when_size_not_strip_aligned(rng):
     """input_size % 16 != 0 must silently skip the Pallas fast path."""
     from uavdet_tpu.inference import make_detector

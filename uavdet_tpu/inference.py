@@ -103,16 +103,70 @@ def decode_all_heads(outs, anchors: np.ndarray, head_scales: Sequence[int],
             jnp.concatenate(all_scores, axis=1))
 
 
+def decode_topk_heads(outs, anchors: np.ndarray,
+                      head_scales: Sequence[int], pre_nms_topk: int):
+    """Per-head top-k on objectness LOGITS, then decode only the survivors.
+
+    Equivalent to ``decode_all_heads`` + per-head top-k on scores (sigmoid
+    is strictly monotonic, so ranking logits ranks scores; and any global
+    top-k candidate is a top-k candidate of its own head, so the union of
+    per-head top-k sets contains the global top-k) — but it never
+    materializes decoded boxes for the full grid, which at e.g. DySOEM
+    1280px (3·640² candidates on the stride-2 head) is the difference
+    between gigabytes of HBM traffic and a few MB.
+
+    Both bbox_loss_fn modes decode to the same absolute-pixel formula
+    (reference model/_base.py:214-241 + the mse-mode grid/anchor terms):
+      cx = (σ(t0)·2 − 0.5 + gx)·scale,  w = (σ(t2)·2)²·anchor_px.
+
+    → boxes (B, Σ_h k_h, 4) xyxy f32, scores (B, Σ_h k_h) f32.
+    """
+    all_b, all_s = [], []
+    for h, out in enumerate(outs):
+        scale = head_scales[h]
+        b, a, hh, ww, _ = out.obj.shape
+        n = a * hh * ww
+        k = min(pre_nms_topk, n)
+        logits = out.obj.reshape(b, n).astype(jnp.float32)
+        top_l, top_i = jax.lax.top_k(logits, k)
+        sel = jnp.take_along_axis(out.bbox.reshape(b, n, 4),
+                                  top_i[..., None], axis=1)
+        s = jax.nn.sigmoid(sel.astype(jnp.float32))
+        rem = top_i % (hh * ww)
+        ai = top_i // (hh * ww)
+        gx = (rem % ww).astype(jnp.float32)
+        gy = (rem // ww).astype(jnp.float32)
+        anc = jnp.asarray(anchors[h], jnp.float32)  # (A, 2) pixels
+        aw = jnp.take(anc[:, 0], ai)
+        ah = jnp.take(anc[:, 1], ai)
+        cx = (s[..., 0] * 2.0 - 0.5 + gx) * scale
+        cy = (s[..., 1] * 2.0 - 0.5 + gy) * scale
+        w_ = (s[..., 2] * 2.0) ** 2 * aw
+        h_ = (s[..., 3] * 2.0) ** 2 * ah
+        all_b.append(jnp.stack([cx - w_ / 2, cy - h_ / 2,
+                                cx + w_ / 2, cy + h_ / 2], axis=-1))
+        all_s.append(jax.nn.sigmoid(top_l))
+    return (jnp.concatenate(all_b, axis=1),
+            jnp.concatenate(all_s, axis=1))
+
+
 def make_detector(model, hparams, input_size: int,
                   score_threshold: float = 0.001,
                   nms_iou: float = 0.5, pre_nms_topk: int = 512,
                   max_det: int = 300, compute_dtype=jnp.bfloat16,
                   pallas_stem_variables=None, pallas_stem_interpret=False,
-                  mesh=None):
+                  mesh=None, dual=False):
     """Build the jitted end-to-end detector.
 
     Returns ``detect(variables, images) -> Detections``; ``images`` may be
     uint8 at native resolution (preproc fused in).
+
+    ``dual``: build the dual-stream entry ``detect(variables, rgb, ir)``
+    instead — native-resolution uint8 RGB (e.g. 1920×1080) and IR
+    (640×512) frames are aligned to the detector grid by
+    ``preprocess_dual`` INSIDE the jitted program and detected as one
+    modality-major batch of 2B frames (the reference feeds modalities as
+    separate samples, AntiUAVDataset.py:110-123).
 
     ``pallas_stem_variables``: when given (and the model's layer_config
     starts with the DyConv(32,3,1)+DyConv(64,3,2) stem), the first two
@@ -133,9 +187,10 @@ def make_detector(model, hparams, input_size: int,
     jit_kw = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        n_img = 2 if dual else 1
         jit_kw = dict(
-            in_shardings=(NamedSharding(mesh, P()),
-                          NamedSharding(mesh, P("data"))),
+            in_shardings=(NamedSharding(mesh, P()),)
+            + (NamedSharding(mesh, P("data")),) * n_img,
             out_shardings=NamedSharding(mesh, P("data")))
 
     stem = None
@@ -145,43 +200,21 @@ def make_detector(model, hparams, input_size: int,
         stem = detector_stem_fast_path(
             model, pallas_stem_variables, model.layer_config,
             getattr(model, "attn_temperature", 30.0),
-            interpret=pallas_stem_interpret)
+            interpret=pallas_stem_interpret, input_size=input_size)
 
-    @partial(jax.jit, **jit_kw)
-    def detect(variables, images) -> Detections:
+    def _body(variables, x) -> Detections:
+        """x: frames at the detector grid — raw uint8 (fused-stem /255
+        fold) or preprocessed compute-dtype floats."""
         if stem is not None:
             stem_fn, tail_model, tail_vars = stem
-            if (images.dtype == jnp.uint8
-                    and images.shape[1:3] == (input_size, input_size)):
-                # raw bytes straight into the fused stem: /255 is folded
-                # into its kernel matrix, no preprocessing pass at all
-                z = stem_fn(images)
-            else:
-                z = stem_fn(preprocess(images, input_size, compute_dtype))
-            outs = tail_model.apply(tail_vars, z, train=False)
+            outs = tail_model.apply(tail_vars, stem_fn(x), train=False)
         else:
-            x = preprocess(images, input_size, compute_dtype)
+            if x.dtype == jnp.uint8:
+                x = preprocess(x, input_size, compute_dtype)
             outs = model.apply(variables, x, train=False)
         scales = tuple(input_size // o.obj.shape[2] for o in outs)
-        boxes, scores = decode_all_heads(outs, anchors, scales, bbox_loss_fn)
-        # bound the candidate set per head BEFORE the global concat —
-        # high-resolution heads (e.g. DySOEM stride 2 @1280px) otherwise
-        # produce millions of candidates per image
-        if boxes.shape[1] > 4 * pre_nms_topk:
-            parts_b, parts_s = [], []
-            offset = 0
-            for o in outs:
-                n = int(np.prod(o.obj.shape[1:4]))
-                sc = scores[:, offset:offset + n]
-                bx = boxes[:, offset:offset + n]
-                k = min(pre_nms_topk, n)
-                top_s, top_i = jax.lax.top_k(sc, k)
-                parts_s.append(top_s)
-                parts_b.append(jnp.take_along_axis(
-                    bx, top_i[..., None], axis=1))
-                offset += n
-            boxes = jnp.concatenate(parts_b, axis=1)
-            scores = jnp.concatenate(parts_s, axis=1)
+        boxes, scores = decode_topk_heads(outs, anchors, scales,
+                                          pre_nms_topk)
         scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
 
         def per_image(bx, sc):
@@ -198,4 +231,16 @@ def make_detector(model, hparams, input_size: int,
         out_b, out_s, valid = jax.vmap(per_image)(boxes, scores)
         return Detections(boxes=out_b, scores=out_s, valid=valid)
 
+    if dual:
+        @partial(jax.jit, **jit_kw)
+        def detect(variables, rgb, ir) -> Detections:
+            x = preprocess_dual(rgb, ir, input_size, compute_dtype)
+            return _body(variables, x)
+    else:
+        @partial(jax.jit, **jit_kw)
+        def detect(variables, images) -> Detections:
+            if not (stem is not None and images.dtype == jnp.uint8
+                    and images.shape[1:3] == (input_size, input_size)):
+                images = preprocess(images, input_size, compute_dtype)
+            return _body(variables, images)
     return detect

@@ -9,13 +9,23 @@ computes attn₂ → the folded L2 matrix; kernel B consumes the activation.
 Alignment choreography (Mosaic DMA needs 8-aligned sublane starts):
   * A: x is stored with 8 top pad rows, so each disjoint 64-row output
     strip DMAs x rows [64a, 64a+72) — aligned — and reads its halo at the
-    static local offset 7.
-  * B: needs L1 rows [16·s − 1, 16·s + 17). Two DMAs into one scratch:
-    the previous 8 rows [16s−8, 16s) (skipped and zero-filled for s=0)
-    and the current 24 rows [16s, 16s+24), giving the halo at static
-    local offset 7. The activation array is over-allocated by 24 rows so
-    the bottom strip's window stays in bounds; out-of-image rows are
-    zero-masked in-kernel (they realize the conv's zero padding).
+    static local offset 7. A emits the activation ROW-PAIR FOLDED —
+    (32, RA/2, 2w), lane banks [0:w]=even row, [w:2w]=odd row, the exact
+    layout kernel B's stride-2 taps want — plus per-strip channel sums
+    (a (32, 128)-padded second output) so the L2 attention GAP never
+    re-reads the activation from HBM.
+  * B: strip s emits TR2 output rows, consuming folded rows
+    [TR2·s − 1, TR2·s + TR2). One DMA brings the TR2 fresh folded rows
+    [TR2·s, TR2·(s+1)) straight into the window scratch (8-aligned,
+    double-buffered across the GLOBAL strip sequence so the prefetch
+    chain survives image boundaries); the 8-row top halo region is
+    copied from the previous strip's slot (zeros for s=0 — the conv's
+    top padding). Every activation byte crosses HBM exactly once, there
+    is no staging reshape in B at all (A pre-folded), and rows past the
+    image are zero in the activation itself (A masks them).
+  On TPU hardware the folded layout needs w % 128 == 0 (tap banks sit at
+  lane offset w; Mosaic wants 128-aligned lane slices); interpret mode
+  has no such constraint.
 
 Kernel matrices come from ``pallas_stem.mix_and_fold`` (expert mixing +
 BN + bias folded; bias as a ones-row contraction element).
@@ -29,11 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RA = 64          # L1 rows per kernel-A strip
-TR2 = 8          # L2 rows per kernel-B strip
 
 
 def make_l1_kernel(w: int, h: int, w_pad: int):
-    def kern(x_ref, k1_ref, xl1_ref, p1_ref, xs_ref, sem):
+    def kern(x_ref, k1_ref, xl1_ref, sums_ref, p1_ref, xs_ref, sem):
         bi = pl.program_id(0)
         ai = pl.program_id(1)
 
@@ -63,89 +72,94 @@ def make_l1_kernel(w: int, h: int, w_pad: int):
         mask = jnp.where(row < h, 1.0, 0.0)
         xl1 = xl1 * mask[None]
 
-        xl1_ref[0] = xl1.astype(jnp.bfloat16)
+        xbf = xl1.astype(jnp.bfloat16)
+        # row-pair fold: (32, RA, w) → (32, RA/2, 2w) so kernel B's
+        # stride-2 taps read even/odd rows as lane banks with NO staging
+        xl1_ref[0] = xbf.reshape(32, RA // 2, 2 * w)
+        # per-strip channel sums of the STORED bf16 values (so the L2
+        # attention GAP sees exactly what kernel B reads) — saves the
+        # XLA GAP's full re-read of the activation from HBM. Lanes 1..127
+        # of the (32, 128) output block are zero padding.
+        srow = jnp.sum(xbf.astype(jnp.float32), axis=2)        # (32, RA)
+        stot = jnp.sum(srow, axis=1, keepdims=True)            # (32, 1)
+        sums_ref[0, 0] = jnp.pad(stot, ((0, 0), (0, 127)))
     return kern
 
 
-def make_l2_kernel(w: int, h: int, w_pad: int):
+def make_l2_kernel(w: int, tr2: int, half_out: int = None):
+    """``half_out``: output lane count ≥ w//2 — extra lanes come out zero
+    (the even-column selection matmul simply has no matching column),
+    giving downstream strip kernels a 128-aligned lane width for free."""
     half = w // 2
+    half_out = half_out or half
 
-    def kern(a_ref, k2_ref, out_ref, p2_ref, xw_ref, folded_ref, sem0, sem1):
+    def kern(a_ref, k2_ref, out_ref, p2_ref, wf_ref, sem):
         bi = pl.program_id(0)
         si = pl.program_id(1)
         n_s = pl.num_programs(1)
+        n_b = pl.num_programs(0)
 
-        # Double-buffered window DMA: strip si's 32-row window
-        # [16·si − 8, 16·si + 24) was started during strip si−1 (saves the
-        # DMA stall — measured 12.5 → 10.0 ms at bs=16 @640). Strip 0's
-        # top 8 rows don't exist (zero-filled: they realize the conv's top
-        # padding) so its copy covers only the 24 current rows.
-        def start_dma(s, slot):
-            @pl.when(s == 0)
-            def _():
-                pltpu.make_async_copy(
-                    a_ref.at[bi, :, pl.ds(0, 24), :],
-                    xw_ref.at[slot, :, 8:32, :], sem0.at[slot]).start()
+        # Halo-reuse DMA over the FOLDED activation (a_ref is
+        # (B, 32, Hp/2, 2w): lane bank [0:w] = even L1 row, [w:2w] = odd).
+        # Strip si emits L2 rows [tr2·si, tr2·(si+1)), consuming folded
+        # rows [tr2·si − 1, tr2·si + tr2). One DMA lands the tr2 fresh
+        # rows straight in the window at sublane 8; the 8-row halo region
+        # holds the previous strip's tail (zeros for si == 0 — the conv's
+        # top padding). Slot parity follows the GLOBAL strip counter so
+        # the prefetch chain stays valid across image boundaries.
+        def fresh_copy(b_, s, slot):
+            start = pl.multiple_of(s * tr2, 8)
+            return pltpu.make_async_copy(
+                a_ref.at[b_, :, pl.ds(start, tr2), :],
+                wf_ref.at[slot, :, 8:8 + tr2, :], sem.at[slot])
 
-            @pl.when(s > 0)
-            def _():
-                start = pl.multiple_of(s * 2 * TR2 - 8, 8)
-                pltpu.make_async_copy(
-                    a_ref.at[bi, :, pl.ds(start, 32), :],
-                    xw_ref.at[slot, :, 0:32, :], sem0.at[slot]).start()
+        g = bi * n_s + si
+        slot = jax.lax.rem(g, 2)
 
+        @pl.when(g == 0)
+        def _():
+            fresh_copy(bi, 0, 0).start()
+
+        fresh_copy(bi, si, slot).wait()
+
+        # halo rows [tr2·si − 8, tr2·si): copied out of the other slot
+        # BEFORE that slot's next DMA is started below
         @pl.when(si == 0)
         def _():
-            xw_ref[0, :, 0:8, :] = jnp.zeros((32, 8, w_pad), jnp.bfloat16)
-            start_dma(si, 0)
-
-        slot = si % 2
-
-        @pl.when(si == 0)
-        def _():
-            pltpu.make_async_copy(
-                a_ref.at[bi, :, pl.ds(0, 24), :],
-                xw_ref.at[0, :, 8:32, :], sem0.at[0]).wait()
+            wf_ref[slot, :, 0:8] = jnp.zeros((32, 8, 2 * w), jnp.bfloat16)
 
         @pl.when(si > 0)
         def _():
-            start = pl.multiple_of(si * 2 * TR2 - 8, 8)
-            pltpu.make_async_copy(
-                a_ref.at[bi, :, pl.ds(start, 32), :],
-                xw_ref.at[slot, :, 0:32, :], sem0.at[slot]).wait()
+            wf_ref[slot, :, 0:8] = wf_ref[1 - slot, :, tr2:tr2 + 8, :]
 
         @pl.when(si + 1 < n_s)
         def _():
-            start_dma(si + 1, (si + 1) % 2)
+            fresh_copy(bi, si + 1, 1 - slot).start()
 
-        # local L1 rows for L2 taps: l = 16·si − 1 + j ↔ local 7 + j
-        # zero out-of-image rows (bottom garbage / top pad)
-        xl1 = xw_ref[slot, :, :, 0:w]
-        row = jax.lax.broadcasted_iota(jnp.int32, (32, w), 0) + (
-            si * 2 * TR2 - 8)
-        mask = jnp.where((row >= 0) & (row < h), 1.0, 0.0).astype(
-            jnp.bfloat16)
-        folded_ref[...] = (xl1 * mask[None]).reshape(32, 16, 2 * w)
+        @pl.when((si + 1 == n_s) & (bi + 1 < n_b))
+        def _():
+            fresh_copy(bi + 1, 0, 1 - slot).start()
 
-        folded = folded_ref[...]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TR2, w), 1)
+        # window row f ↔ folded row tr2·si − 8 + f. Output row ρ, tap ki
+        # reads L1 row 2(tr2·si + ρ) + ki − 1:
+        #   ki=0 → folded row tr2·si + ρ − 1, odd bank  → window 7+ρ
+        #   ki=1 → folded row tr2·si + ρ,     even bank → window 8+ρ
+        #   ki=2 → folded row tr2·si + ρ,     odd bank  → window 8+ρ
+        # No in-kernel image mask: rows past the image are zero in the
+        # activation itself (kernel A masks them).
+        folded = wf_ref[slot]                      # (32, tr2+8, 2w)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tr2, w), 1)
         not_first = jnp.where(lane >= 1, 1.0, 0.0).astype(jnp.bfloat16)
         not_last = jnp.where(lane < w - 1, 1.0, 0.0).astype(jnp.bfloat16)
 
-        # rows of the fold: local row 7+j for j = ki + 2ρ, ρ ∈ [0, TR2):
-        # local = 7+ki+2ρ; parity: (7+ki+2ρ) odd for ki even → odd bank,
-        # fold row (7+ki)/2 rounding... enumerate per ki:
-        #   ki=0: local 7,9,..,37  → odd bank rows 3..18? local//2 = 3+ρ
-        #   ki=1: local 8,10,..,38 → even bank rows 4+ρ
-        #   ki=2: local 9,11,..,39 → odd bank rows 4+ρ
         t = 0
         for ki in range(3):
             if ki == 0:
-                rows = folded[:, 3:3 + TR2, w:2 * w]
+                rows = folded[:, 7:7 + tr2, w:2 * w]
             elif ki == 1:
-                rows = folded[:, 4:4 + TR2, 0:w]
+                rows = folded[:, 8:8 + tr2, 0:w]
             else:
-                rows = folded[:, 4:4 + TR2, w:2 * w]
+                rows = folded[:, 8:8 + tr2, w:2 * w]
             rows32 = rows.astype(jnp.float32)
             left = (pltpu.roll(rows32, 1, 2).astype(jnp.bfloat16)
                     * not_first[None])
@@ -154,14 +168,14 @@ def make_l2_kernel(w: int, h: int, w_pad: int):
             for tap in (left, rows, right):
                 p2_ref[32 * t:32 * (t + 1)] = tap
                 t += 1
-        p2_ref[288:289] = jnp.ones((1, TR2, w), jnp.bfloat16)
+        p2_ref[288:289] = jnp.ones((1, tr2, w), jnp.bfloat16)
 
         acc2 = jax.lax.dot_general(
             k2_ref[0], p2_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (64, TR2, w)
-        col = jax.lax.broadcasted_iota(jnp.int32, (w, half), 0)
-        tgt = jax.lax.broadcasted_iota(jnp.int32, (w, half), 1)
+            preferred_element_type=jnp.float32)      # (64, tr2, w)
+        col = jax.lax.broadcasted_iota(jnp.int32, (w, half_out), 0)
+        tgt = jax.lax.broadcasted_iota(jnp.int32, (w, half_out), 1)
         # bf16 even-column selection (an exact copy of values that are
         # about to be bf16-rounded anyway; f32 select runs the MXU at
         # half rate)
@@ -176,7 +190,9 @@ def make_l2_kernel(w: int, h: int, w_pad: int):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_l1(x, k1_aug, interpret: bool = False):
-    """x (B,H,W,3) → (xl1 (B,32,Hp,W) bf16 channel-major, sums (B,32) f32).
+    """x (B,H,W,3) → (xl1 (B,32,Hp/2,2W) bf16 channel-major ROW-PAIR
+    FOLDED — lane banks [0:W]=even row, [W:2W]=odd row — and channel sums
+    (B,32) f32).
 
     Hp = H rounded up to 64 plus 24 over-allocated rows for kernel B's
     aligned windows (content beyond H is zero)."""
@@ -194,7 +210,7 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
                  ((0, 0), (0, 0), (8, max(bottom, 1)),
                   (1, w_pad - w - 1)))
 
-    xl1 = pl.pallas_call(
+    xl1, strip_sums = pl.pallas_call(
         make_l1_kernel(w, h, w_pad),
         grid=(b, n_a),
         in_specs=[
@@ -202,10 +218,17 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
             pl.BlockSpec((1, 32, 28), lambda bi, ai: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 32, RA, w),
-                               lambda bi, ai: (bi, 0, ai, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 32, hp, w), jnp.bfloat16),
+        out_specs=[
+            pl.BlockSpec((1, 32, RA // 2, 2 * w),
+                         lambda bi, ai: (bi, 0, ai, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 32, 128), lambda bi, ai: (bi, ai, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 32, hp // 2, 2 * w), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, n_a, 32, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((28, RA, w), jnp.bfloat16),
             pltpu.VMEM((3, RA + 16, w_pad), jnp.bfloat16),
@@ -213,58 +236,77 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
         ],
         interpret=interpret,
     )(xt, k1_aug.astype(jnp.bfloat16))
-    # GAP sums in XLA over the valid rows only (the 24 over-allocated
-    # rows at the bottom are never written — undefined content)
-    sums = jnp.sum(xl1[:, :, :h, :].astype(jnp.float32), axis=(2, 3))
+    # GAP = Σ strips of the in-kernel per-strip channel sums (a few KB)
+    # instead of an XLA reduce that re-reads the whole activation
+    sums = jnp.sum(strip_sums[:, :, :, 0], axis=1)
     return xl1, sums
 
 
-@partial(jax.jit, static_argnames=("h", "interpret"))
-def pallas_l2(xl1, k2_aug, h: int = None, interpret: bool = False):
-    """xl1 (B,32,Hp,W) bf16 from pallas_l1 → (B, H/2, W/2, 64) NHWC.
+@partial(jax.jit, static_argnames=("h", "over_rows", "raw_cm", "interpret"))
+def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
+              raw_cm: bool = False, interpret: bool = False):
+    """xl1 (B,32,Hp/2,2W) folded bf16 from pallas_l1 → (B,H/2,W/2,64) NHWC.
 
     ``h`` is the TRUE image height; pallas_l1 over-allocates
     Hp = ceil(H/64)·64 + 24, so it cannot be recovered from the array shape
-    unless H is divisible by 64. H must be divisible by 2·TR2 = 16 (the
-    kernel emits whole TR2-row output strips)."""
-    b, _, hp, w = xl1.shape
+    unless H is divisible by 64. H must be divisible by 16; the strip
+    height doubles to 16 when H is divisible by 32 (fewer, bigger
+    programs — the kernel is per-program-overhead-bound, not
+    bandwidth-bound).
+
+    ``over_rows``: extra unwritten rows past H/2 in the output allocation
+    (a downstream strip kernel's aligned read window, e.g.
+    ``pallas_block.pallas_block_down`` wants 8). ``raw_cm``: return the
+    raw (B, 64, H/2 + over_rows, ceil(W/2 /128)·128) channel-major array
+    — lanes past W/2 are zero — instead of the sliced NHWC transpose."""
+    b, _, hp2, w2 = xl1.shape
+    w = w2 // 2
     if h is None:
-        h = hp - 24  # exact only when H was divisible by 64
-    if h % (2 * TR2) != 0:
-        raise ValueError(f"pallas_l2 needs H divisible by {2 * TR2}, got {h}")
-    w_pad = -(-w // 128) * 128
-    if w_pad != w:
-        xl1 = jnp.pad(xl1, ((0, 0), (0, 0), (0, 0), (0, w_pad - w)))
-    n_s = (h // 2) // TR2
+        h = 2 * hp2 - 24  # exact only when H was divisible by 64
+    if h % 16 != 0:
+        raise ValueError(f"pallas_l2 needs H divisible by 16, got {h}")
+    tr2 = 16 if (h // 2) % 16 == 0 else 8
+    n_s = (h // 2) // tr2
+    half_out = -(-(w // 2) // 128) * 128 if raw_cm else w // 2
 
     out = pl.pallas_call(
-        make_l2_kernel(w, h, w_pad),
+        make_l2_kernel(w, tr2, half_out),
         grid=(b, n_s),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 64, 289), lambda bi, si: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 64, TR2, w // 2),
+        out_specs=pl.BlockSpec((1, 64, tr2, half_out),
                                lambda bi, si: (bi, 0, si, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 64, h // 2, w // 2),
+        out_shape=jax.ShapeDtypeStruct((b, 64, h // 2 + over_rows, half_out),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((289, TR2, w), jnp.bfloat16),
-            pltpu.VMEM((2, 32, 32, w_pad), jnp.bfloat16),  # 2 DMA slots
-            pltpu.VMEM((32, 16, 2 * w), jnp.bfloat16),
+            pltpu.VMEM((289, tr2, w), jnp.bfloat16),
+            pltpu.VMEM((2, 32, tr2 + 8, 2 * w), jnp.bfloat16),  # windows
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
+        # tr2=16 needs ~19.3 MB scoped VMEM — above the compiler's
+        # conservative 16 MB default but well within v5e's VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(xl1, k2_aug.astype(jnp.bfloat16))
-    return out.transpose(0, 2, 3, 1)
+    if raw_cm:
+        return out
+    return out[:, :, :h // 2].transpose(0, 2, 3, 1)
 
 
 def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
-                       attn_temp: float, interpret: bool = False):
+                       attn_temp: float, interpret: bool = False,
+                       block_aug=None):
     """Full two-pass fused stem from DyYOLO parameter trees.
+
+    ``block_aug``: optional (w1_aug, k2_aug, k3_aug) folded matrices from
+    ``pallas_block.fold_cnnblock`` — when given, the post-stem
+    ResidualBlock + 3x3-s2 downsample also run fused
+    (``pallas_block_down``) and the result is (B, H/4, W/4, 128) NHWC.
 
     x: (B, H, W, 3) — either preprocessed frames in [0, 1] (any float
     dtype) or RAW uint8 frames: for uint8 the /255 normalization is
@@ -316,22 +358,38 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                       bn1p["bias"], bn1s["mean"], bn1s["var"],
                       out_channels=64)
 
-    return pallas_l2(xl1, k2, h=h, interpret=interpret)
+    if block_aug is None:
+        return pallas_l2(xl1, k2, h=h, interpret=interpret)
+
+    from .pallas_block import pallas_block_down
+    xl2 = pallas_l2(xl1, k2, h=h, over_rows=8, raw_cm=True,
+                    interpret=interpret)
+    out = pallas_block_down(xl2, *block_aug, h2=h // 2, w=w // 2,
+                            interpret=interpret)
+    return out.transpose(0, 2, 3, 1)
 
 
 def detector_stem_fast_path(model, variables, layer_config, attn_temp,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            input_size: int = None):
     """Build the Pallas-stem fast path for a DyYOLO-style detector.
 
     Returns (stem_fn, tail_model, tail_variables) where
-    ``stem_fn(x_preprocessed)`` runs the two fused stem layers and
+    ``stem_fn(x_preprocessed)`` runs the fused front of the network and
     ``tail_model.apply(tail_variables, stem_out)`` runs the rest — or None
     if the config doesn't start with the DyConv(32,3,1), DyConv(64,3,2)
     stem this kernel implements.
 
-    The tail model is the same interpreter over ``layer_config[2:]``; its
-    auto-assigned module names shift by exactly the two consumed
-    DyConvModules, so the variables tree is re-keyed accordingly.
+    When the next two tokens are ["B", 1], [128, 3, 2] (the DyYOLO
+    default), they are consumed too: the post-stem ResidualBlock +
+    downsample run in ``pallas_block.pallas_block_down`` with BN/bias
+    folded at build time, and the tail starts at H/4 — the stem's two
+    layers plus these two were the farthest-from-roofline layers of the
+    whole pipeline (PERF.md).
+
+    The tail model is the same interpreter over the remaining tokens; its
+    auto-assigned module names shift by exactly the consumed module
+    counts per flax type, so the variables tree is re-keyed accordingly.
     """
     cfg = [list(t) for t in layer_config]
     if len(cfg) < 2 or cfg[0] != ["DyConv", 32, 3, 1] \
@@ -343,14 +401,30 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
     p = variables["params"]["net"]
     s = variables["batch_stats"]["net"]
 
+    import os
+
+    # The block kernel emits whole 8-row strips at H/4 → needs H % 32 == 0.
+    # OFF by default: bit-exact and fully tested, but measured SLOWER than
+    # XLA for the same layers (12.5 vs 9.2 ms standalone at bs=16 @640) —
+    # the strip-kernel per-program overhead (~20-40 µs × 320 programs)
+    # eats the fusion win; see PERF.md. UAVDET_PALLAS_BLOCK=1 enables.
+    with_block = (len(cfg) >= 4 and cfg[2] == ["B", 1]
+                  and cfg[3] == [128, 3, 2]
+                  and input_size is not None and input_size % 32 == 0
+                  and os.environ.get("UAVDET_PALLAS_BLOCK", "0") == "1")
+    shifts = {"DyConvModule_": 2}
+    if with_block:
+        shifts.update({"ResidualBlock_": 1, "CNNBlock_": 1})
+
     def rekey(tree):
         out = {}
         for k, v in tree.items():
-            if k.startswith("DyConvModule_"):
-                i = int(k.split("_")[1])
-                if i < 2:
-                    continue
-                out[f"DyConvModule_{i - 2}"] = v
+            for prefix, shift in shifts.items():
+                if k.startswith(prefix):
+                    i = int(k.split("_")[-1])
+                    if i >= shift:
+                        out[f"{prefix}{i - shift}"] = v
+                    break
             else:
                 out[k] = v
         return out
@@ -359,15 +433,27 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
         "params": {"net": rekey(p)},
         "batch_stats": {"net": rekey(s)},
     }
-    tail_model = DyYOLO(layer_config=tuple(tuple(t) for t in cfg[2:]),
+    n_skip = 4 if with_block else 2
+    tail_model = DyYOLO(layer_config=tuple(tuple(t) for t in cfg[n_skip:]),
                         attn_temperature=attn_temp,
                         n_anchors=model.n_anchors, dtype=model.dtype)
 
     dy0p, dy0s = p["DyConvModule_0"], s["DyConvModule_0"]
     dy1p, dy1s = p["DyConvModule_1"], s["DyConvModule_1"]
 
+    block_aug = None
+    if with_block:
+        from .pallas_block import fold_cnnblock
+        rb_p, rb_s = p["ResidualBlock_0"], s["ResidualBlock_0"]
+        block_aug = (
+            fold_cnnblock(rb_p["CNNBlock_0"], rb_s["CNNBlock_0"]),
+            fold_cnnblock(rb_p["CNNBlock_1"], rb_s["CNNBlock_1"]),
+            fold_cnnblock(p["CNNBlock_0"], s["CNNBlock_0"]),
+        )
+
     def stem_fn(x):
         return fused_stem_forward(x, dy0p, dy0s, dy1p, dy1s, attn_temp,
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  block_aug=block_aug)
 
     return stem_fn, tail_model, tail_variables

@@ -49,8 +49,15 @@ def _loss_weights(hparams):
 
 
 def make_train_step(model, tx, hparams, input_size: int,
-                    compute_dtype=jnp.float32):
-    """Build the jitted train step: (state, batch) → (state, metrics)."""
+                    compute_dtype=jnp.float32, donate: bool = False):
+    """Build the jitted train step: (state, batch) → (state, metrics).
+
+    ``donate``: donate the input state's buffers to the output state
+    (in-place param/optimizer update — saves one params+opt-state
+    allocation + copy per step). The caller must NOT reuse the old state
+    after the call; the trainer enables this only when ``nan_guard`` is
+    off (the guard re-uses the pre-step state to skip poisoned batches).
+    """
     anchors = np.asarray(hparams.anchors, np.float32)
     weights = _loss_weights(hparams)
 
@@ -65,7 +72,7 @@ def make_train_step(model, tx, hparams, input_size: int,
         lb = yolo_loss(outs, grids, anchors, scales, **weights)
         return lb.total, (lb, mutated["batch_stats"])
 
-    @jax.jit
+    @partial(jax.jit, **({"donate_argnums": (0,)} if donate else {}))
     def train_step(state: TrainState, batch: BatchData):
         (_, (lb, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)

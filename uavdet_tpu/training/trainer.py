@@ -111,9 +111,12 @@ class Trainer:
                 compute_dtype=self.compute_dtype)
             train_step = compile_step(state)
         else:
+            # donate the old state's buffers unless the nan_guard needs to
+            # re-use the pre-step state to skip poisoned batches
             train_step = make_train_step(
                 self.model, self.tx, hparams, self.input_size,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                donate=not self.nan_guard)
         eval_step = make_eval_step(self.model, hparams, self.input_size,
                                    compute_dtype=self.compute_dtype)
         return train_step, eval_step
