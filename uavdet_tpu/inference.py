@@ -127,8 +127,15 @@ def decode_topk_heads(outs, anchors: np.ndarray,
         b, a, hh, ww, _ = out.obj.shape
         n = a * hh * ww
         k = min(pre_nms_topk, n)
-        logits = out.obj.reshape(b, n).astype(jnp.float32)
-        top_l, top_i = jax.lax.top_k(logits, k)
+        # top-k in the head's native dtype (bf16 on TPU): halves the sort
+        # bandwidth. bf16 rounding can only reorder candidates whose
+        # logits are within 1 ulp — their scores are equal to far beyond
+        # protocol precision. The kept logits are re-read at full
+        # precision through the gather below.
+        logits = out.obj.reshape(b, n)
+        _, top_i = jax.lax.top_k(logits, k)
+        top_l = jnp.take_along_axis(logits, top_i, axis=1).astype(
+            jnp.float32)
         sel = jnp.take_along_axis(out.bbox.reshape(b, n, 4),
                                   top_i[..., None], axis=1)
         s = jax.nn.sigmoid(sel.astype(jnp.float32))

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RA = 64          # L1 rows per kernel-A strip
+RA = 128         # L1 rows per kernel-A strip (the kernels are
+                 # per-program-overhead-bound — bigger strips win)
 
 
 def make_l1_kernel(w: int, h: int, w_pad: int):
@@ -61,6 +62,9 @@ def make_l1_kernel(w: int, h: int, w_pad: int):
                 t += 1
         p1_ref[27:28] = jnp.ones((1, RA, w), jnp.bfloat16)
 
+        # f32 accumulator + epilogue: Mosaic requires a 32-bit matmul acc,
+        # and its bf16 `logistic` lowering is broken (vector.broadcast
+        # element-type verification failure)
         acc1 = jax.lax.dot_general(
             k1_ref[0], p1_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -70,9 +74,7 @@ def make_l1_kernel(w: int, h: int, w_pad: int):
         # zero rows beyond the image (array is over-allocated)
         row = jax.lax.broadcasted_iota(jnp.int32, (RA, w), 0) + ai * RA
         mask = jnp.where(row < h, 1.0, 0.0)
-        xl1 = xl1 * mask[None]
-
-        xbf = xl1.astype(jnp.bfloat16)
+        xbf = (xl1 * mask[None]).astype(jnp.bfloat16)
         # row-pair fold: (32, RA, w) → (32, RA/2, 2w) so kernel B's
         # stride-2 taps read even/odd rows as lane banks with NO staging
         xl1_ref[0] = xbf.reshape(32, RA // 2, 2 * w)
@@ -234,6 +236,8 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
             pltpu.VMEM((3, RA + 16, w_pad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(xt, k1_aug.astype(jnp.bfloat16))
     # GAP = Σ strips of the in-kernel per-strip channel sums (a few KB)

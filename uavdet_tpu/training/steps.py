@@ -49,7 +49,8 @@ def _loss_weights(hparams):
 
 
 def make_train_step(model, tx, hparams, input_size: int,
-                    compute_dtype=jnp.float32, donate: bool = False):
+                    compute_dtype=jnp.float32, donate: bool = False,
+                    remat=False):
     """Build the jitted train step: (state, batch) → (state, metrics).
 
     ``donate``: donate the input state's buffers to the output state
@@ -57,15 +58,30 @@ def make_train_step(model, tx, hparams, input_size: int,
     allocation + copy per step). The caller must NOT reuse the old state
     after the call; the trainer enables this only when ``nan_guard`` is
     off (the guard re-uses the pre-step state to skip poisoned batches).
+
+    ``remat``: rematerialize the forward pass in the backward
+    (``jax.checkpoint``) — trades FLOPs for activation memory so larger
+    batches / resolutions fit HBM. ``True`` saves nothing (recompute
+    all); a string names a ``jax.checkpoint_policies`` entry, e.g.
+    ``'dots_saveable'`` (keep matmul/conv outputs, recompute the cheap
+    elementwise chains — the usual sweet spot on TPU).
     """
     anchors = np.asarray(hparams.anchors, np.float32)
     weights = _loss_weights(hparams)
 
-    def loss_fn(params, batch_stats, batch: BatchData):
-        x = batch.image.astype(compute_dtype)
-        outs, mutated = model.apply(
+    def fwd(params, batch_stats, x):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats}, x,
             train=True, mutable=["batch_stats"])
+
+    if remat:
+        policy = (None if remat is True
+                  else getattr(jax.checkpoint_policies, str(remat)))
+        fwd = jax.checkpoint(fwd, policy=policy)
+
+    def loss_fn(params, batch_stats, batch: BatchData):
+        x = batch.image.astype(compute_dtype)
+        outs, mutated = fwd(params, batch_stats, x)
         scales = tuple(input_size // o.obj.shape[2] for o in outs)
         grids = encode_yolo_targets(batch.boxes, batch.box_mask,
                                     anchors, scales, input_size)

@@ -65,6 +65,9 @@ class Trainer:
         # The reference's only failure story is its inline assert net
         # (SURVEY §5); this is the trainer-level equivalent.
         self.nan_guard = bool(tcfg.get("nan_guard", False))
+        # remat: False | True | a jax.checkpoint_policies name (e.g.
+        # 'dots_saveable') — recompute activations in the backward pass
+        self.remat = tcfg.get("remat", False)
         self.nan_guard_retries = int(tcfg.get("nan_guard_retries", 3))
 
         # Lightning's check_val_every_n_epoch (reference train.py:55):
@@ -116,7 +119,7 @@ class Trainer:
             train_step = make_train_step(
                 self.model, self.tx, hparams, self.input_size,
                 compute_dtype=self.compute_dtype,
-                donate=not self.nan_guard)
+                donate=not self.nan_guard, remat=self.remat)
         eval_step = make_eval_step(self.model, hparams, self.input_size,
                                    compute_dtype=self.compute_dtype)
         return train_step, eval_step
