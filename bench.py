@@ -93,7 +93,8 @@ def _detector_bench(name, hparams, batch, input_size, iters, warmup,
           f"{input_size}px bs={batch}{suffix}", fps)
 
 
-def _dual_stream_bench(name, hparams, batch, input_size, iters, warmup):
+def _dual_stream_bench(name, hparams, batch, input_size, iters, warmup,
+                       pallas_stem=True):
     """cfg2: native-resolution RGB (1920x1080) + IR (640x512) uint8 frames
     through ``preprocess_dual`` (on-device cross-modality alignment) →
     detector → NMS, ONE jitted program; fps counted over 2B frames
@@ -107,8 +108,9 @@ def _dual_stream_bench(name, hparams, batch, input_size, iters, warmup):
     model = build_model(name, hparams, dtype=jnp.bfloat16)
     x0 = jnp.zeros((2 * batch, input_size, input_size, 3), jnp.float32)
     variables = model.init(jax.random.key(0), x0, train=False)
-    detect = make_detector(model, hparams, input_size,
-                           pallas_stem_variables=variables, dual=True)
+    detect = make_detector(
+        model, hparams, input_size, dual=True,
+        pallas_stem_variables=variables if pallas_stem else None)
     rng = np.random.default_rng(0)
     rgb = jnp.asarray(rng.integers(0, 256, size=(batch, 1080, 1920, 3),
                                    dtype=np.uint8))
@@ -294,7 +296,7 @@ def main():
     elif args.config == 2:
         _dual_stream_bench("DyYOLO", load_config(
             "conf", model="dy-yolo").model.hparams, 8, 640, args.iters,
-            args.warmup)
+            args.warmup, pallas_stem=not args.no_pallas_stem)
     elif args.config == 3:
         soem = load_config("conf", model="dy-soem_fpn")
         _detector_bench("DySOEM_SimFPN", soem.model.hparams, 32, 1280,

@@ -22,6 +22,8 @@ import numpy as np
 
 
 def _timer(run, sync, iters=20, warmup=3):
+    """Returns PER-ITERATION seconds (unlike bench.py::_timer, which
+    returns TOTAL elapsed and lets callers divide)."""
     sync(run())
     for _ in range(warmup):
         sync(run())

@@ -254,6 +254,20 @@ def test_mar_1_10_100_thresholds():
     assert out["map_50"] == pytest.approx(1.0)
 
 
+def test_mar_thresholds_unsorted():
+    """max_detection_thresholds need not arrive sorted (torchmetrics sorts
+    them): detections must be stored to the LARGEST threshold, so
+    mar_10/mar_100 are unaffected by a trailing smaller entry."""
+    m = MeanAveragePrecision(iou_thresholds=[0.5],
+                             max_detection_thresholds=[100, 10, 1])
+    gts = [_box(50, 50, 20, 20), _box(150, 150, 20, 20)]
+    m.update(gts, [0.9, 0.8], gts)
+    out = m.compute()
+    assert out["mar_1"] == pytest.approx(0.5)
+    assert out["mar_10"] == pytest.approx(1.0)
+    assert out["mar_100"] == pytest.approx(1.0)
+
+
 def test_mar_area_buckets():
     """mar_{small,medium,large}: recall per GT-area bucket at the last
     max-det threshold; buckets with no GT report -1."""

@@ -123,10 +123,17 @@ def test_pallas_block_down_matches_flax(rng):
     assert np.corrcoef(g.ravel(), want.ravel())[0, 1] > 0.999
 
 
-def test_detector_pallas_block_path_matches(rng):
+def test_detector_pallas_block_path_matches(rng, monkeypatch):
     """Detector with the REAL DyYOLO prefix (stem + ["B",1] + [128,3,2]) —
     the pallas_block fast path engages and must match the flax path."""
     from uavdet_tpu.inference import make_detector
+    from uavdet_tpu.ops import pallas_block
+
+    monkeypatch.setenv("UAVDET_PALLAS_BLOCK", "1")  # default-off kernel
+    calls = []
+    orig = pallas_block.pallas_block_down
+    monkeypatch.setattr(pallas_block, "pallas_block_down",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
 
     cfg = (("DyConv", 32, 3, 1), ("DyConv", 64, 3, 2), ("B", 1),
            (128, 3, 2), ("B", 8), (256, 3, 2), (128, 1, 1), (256, 3, 1),
@@ -150,6 +157,7 @@ def test_detector_pallas_block_path_matches(rng):
                          pallas_stem_interpret=True)
     d1 = std(variables, x)
     d2 = fast(variables, x)
+    assert calls, "pallas_block_down was never invoked — gate regression"
     np.testing.assert_allclose(np.asarray(d2.scores), np.asarray(d1.scores),
                                rtol=0.05, atol=0.01)
     np.testing.assert_allclose(np.asarray(d2.boxes[:, 0]),

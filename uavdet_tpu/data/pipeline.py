@@ -141,6 +141,10 @@ class DataPipeline:
         self.drop_last = drop_last
         self.seed = seed
         self.fs = fs
+        # remote filesystems (one paramiko SFTP channel / fsspec instance)
+        # are NOT safe for concurrent reads — serialize them even when
+        # workers > 1 (decode/augment still parallelize)
+        self._fs_lock = threading.Lock()
         self.prefetch = prefetch
         self.workers = max(1, int(workers))
         if fmt not in ("yolo", "custom"):
@@ -174,7 +178,7 @@ class DataPipeline:
     def _sample(self, rec: dict, rng: np.random.Generator):
         if self.mosaic and self.train:
             idx = rng.integers(0, len(self.records), size=4)
-            imgs = [_load_image(self.records[i]["img_path"], self.fs)
+            imgs = [self._read_image(self.records[i]["img_path"])
                     for i in idx]
             bxs = [np.asarray(self.records[i]["bbox"], np.float32)
                    for i in idx]
@@ -200,8 +204,14 @@ class DataPipeline:
                     h0, w0 = _image_hw(path)
                     return self._post_resize(img, boxes, w0, h0, rng)
 
-        img = _load_image(path, self.fs)
+        img = self._read_image(path)
         return self.transform(img, boxes, rng)
+
+    def _read_image(self, path: str) -> np.ndarray:
+        if self.fs is not None:
+            with self._fs_lock:
+                return self.fs.load_image(path)
+        return _load_image(path)
 
     def _produce_samples(self, order, rng) -> Iterator[tuple]:
         """Yield (img, boxes) per manifest position, in order.

@@ -209,7 +209,7 @@ class DyConvModule(nn.Module):
                 and x.shape[2] % 2 == 0)
                or (self.stride == 1 and x.shape[1] % 4 == 0
                    and x.shape[2] % 4 == 0))
-        if k == 1 and self.stride == 1:
+        if k == 1 and self.stride == 1 and self.padding == 0:
             # 1x1 dynamic conv: the per-sample mixed kernel is just an
             # (in_c, out_c) matrix — mix FIRST (tiny einsum), then one
             # batched matmul. 4x fewer FLOPs than the stacked-expert conv

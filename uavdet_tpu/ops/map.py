@@ -65,7 +65,10 @@ class MeanAveragePrecision:
         self.max_detection_thresholds = tuple(
             max_detection_thresholds if max_detection_thresholds is not None
             else [max_det] * 3)
-        self.max_det = self.max_detection_thresholds[-1]
+        # stored detections are truncated to the LARGEST threshold (the
+        # thresholds need not arrive sorted — torchmetrics sorts them);
+        # AP itself uses the largest, like pycocotools' maxDets[-1]
+        self.max_det = max(self.max_detection_thresholds)
         self._images: List[dict] = []
 
     def _to_xyxy(self, boxes):

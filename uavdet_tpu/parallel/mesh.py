@@ -88,22 +88,33 @@ def state_shardings(state: TrainState, mesh: Mesh,
 
 def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
                             fsdp: bool = False,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32,
+                            donate: bool = False, remat=False):
     """DP(+optional FSDP) train step compiled over the mesh.
 
     The batch arrives sharded on 'data'; params/opt-state live with the
     shardings from ``state_shardings``. XLA lowers the implied gradient
-    reduction to a psum over ICI.
+    reduction to a psum over ICI. ``donate``/``remat`` mirror
+    ``training.steps.make_train_step`` (in-place state buffers /
+    jax.checkpoint activation recompute).
     """
     anchors = np.asarray(hparams.anchors, np.float32)
     from ..training.steps import _loss_weights
     weights = _loss_weights(hparams)
 
-    def loss_fn(params, batch_stats, batch: BatchData):
-        x = batch.image.astype(compute_dtype)
-        outs, mutated = model.apply(
+    def fwd(params, batch_stats, x):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats}, x,
             train=True, mutable=["batch_stats"])
+
+    if remat:
+        policy = (None if remat is True
+                  else getattr(jax.checkpoint_policies, str(remat)))
+        fwd = jax.checkpoint(fwd, policy=policy)
+
+    def loss_fn(params, batch_stats, batch: BatchData):
+        x = batch.image.astype(compute_dtype)
+        outs, mutated = fwd(params, batch_stats, x)
         scales = tuple(input_size // o.obj.shape[2] for o in outs)
         grids = encode_yolo_targets(batch.boxes, batch.box_mask,
                                     anchors, scales, input_size)
@@ -127,6 +138,7 @@ def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
         return jax.jit(
             step_fn,
             in_shardings=(st_sh, batch_sharding(mesh)),
-            out_shardings=(st_sh, metrics_sh))
+            out_shardings=(st_sh, metrics_sh),
+            **({"donate_argnums": (0,)} if donate else {}))
 
     return step_fn, compile_step

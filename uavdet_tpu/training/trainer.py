@@ -111,7 +111,8 @@ class Trainer:
         if self.mesh is not None:
             _, compile_step = make_sharded_train_step(
                 self.model, self.tx, hparams, self.input_size, self.mesh,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                donate=not self.nan_guard, remat=self.remat)
             train_step = compile_step(state)
         else:
             # donate the old state's buffers unless the nan_guard needs to
