@@ -80,6 +80,38 @@ def test_sharded_detector_matches_single_device(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_dual_detector_runs(rng):
+    """Dual-stream detector over a data-axis mesh: both native-res input
+    streams sharded on 'data', outputs sharded, values match the
+    single-device dual path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from uavdet_tpu.inference import make_detector
+
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    x0 = jnp.zeros((8, INPUT, INPUT, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    rgb = (rng.uniform(size=(4, 96, 160, 3)) * 255).astype(np.uint8)
+    ir = (rng.uniform(size=(4, 48, 64, 3)) * 255).astype(np.uint8)
+
+    det1 = make_detector(model, HP, INPUT, pre_nms_topk=64, max_det=16,
+                         compute_dtype=jnp.float32, dual=True)
+    d1 = det1(variables, jnp.asarray(rgb), jnp.asarray(ir))
+
+    mesh = make_mesh(n_data=4, n_fsdp=1)
+    rep = NamedSharding(mesh, P())
+    vars_r = jax.tree.map(lambda v: jax.device_put(v, rep), variables)
+    rgb_s = jax.device_put(rgb, NamedSharding(mesh, P("data")))
+    ir_s = jax.device_put(ir, NamedSharding(mesh, P("data")))
+    det4 = make_detector(model, HP, INPUT, pre_nms_topk=64, max_det=16,
+                         compute_dtype=jnp.float32, dual=True, mesh=mesh)
+    d4 = det4(vars_r, rgb_s, ir_s)
+
+    assert d4.boxes.shape == (8, 16, 4)  # 2B frames, modality-major
+    np.testing.assert_array_equal(np.asarray(d1.valid), np.asarray(d4.valid))
+    np.testing.assert_allclose(np.asarray(d1.boxes), np.asarray(d4.boxes),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_fsdp_step_runs(rng):
     model = DyYOLO(layer_config=TINY_DY_CONFIG)
     tx = build_optimizer(HP)
