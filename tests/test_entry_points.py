@@ -102,3 +102,21 @@ def test_stage3_evaluate(workdir):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert "map" in out and "map_50" in out
     assert out["images"] > 0
+
+
+def test_detect_cli(workdir):
+    """scripts/detect.py: arbitrary frames → detections JSON in
+    original-image pixel coordinates (+ annotated copies)."""
+    glob_pat = str(workdir / "data" / "Anti-UAV-RGBT" / "train" / "*" /
+                   "visible" / "*.jpg")
+    import glob as _glob
+    assert _glob.glob(glob_pat), glob_pat
+    r = _run("scripts/detect.py", workdir, "--images", glob_pat,
+             "--out", "dets.json", "--score", "0.0",
+             "--batch", "2", "--draw", "annotated")
+    assert r.returncode == 0, r.stderr[-2000:]
+    dets = json.loads((workdir / "dets.json").read_text())
+    assert len(dets) > 0
+    first = next(iter(dets.values()))
+    assert "boxes_xyxy" in first and "scores" in first
+    assert os.listdir(workdir / "annotated")
