@@ -189,7 +189,8 @@ def make_detector(model, hparams, input_size: int,
     no multi-device inference at all; SURVEY §2.6).
     """
     anchors = np.asarray(hparams.anchors, np.float32)
-    bbox_loss_fn = str(hparams.bbox_loss_fn)
+    # note: hparams.bbox_loss_fn no longer matters here — both modes
+    # decode to the same absolute-pixel boxes (see decode_topk_heads)
 
     jit_kw = {}
     if mesh is not None:

@@ -227,7 +227,7 @@ def pallas_block_down(x_cm, w1_aug, k2_aug, k3_aug, h2: int, w: int = None,
         make_block_kernel(w, h2, wp),
         grid=(b, n_s),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((32, 65), lambda bi, si: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 289), lambda bi, si: (0, 0),

@@ -156,7 +156,7 @@ def pallas_dyconv_stem(x, k1_aug, k2_aug, tr2: int = 16,
         partial(_stem_kernel, tr2=tr2, w=w, h=h),
         grid=(b, n_strips),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
             pl.BlockSpec((1, 32, 28), lambda bi, si: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64, 289), lambda bi, si: (bi, 0, 0),

@@ -216,7 +216,7 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
         make_l1_kernel(w, h, w_pad),
         grid=(b, n_a),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 32, 28), lambda bi, ai: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -277,7 +277,7 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
         make_l2_kernel(w, tr2, half_out),
         grid=(b, n_s),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 64, 289), lambda bi, si: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
