@@ -269,7 +269,7 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
         h = 2 * hp2 - 24  # exact only when H was divisible by 64
     if h % 16 != 0:
         raise ValueError(f"pallas_l2 needs H divisible by 16, got {h}")
-    tr2 = 16 if (h // 2) % 16 == 0 else 8
+    tr2 = next(t for t in (32, 16, 8) if (h // 2) % t == 0)
     n_s = (h // 2) // tr2
     half_out = -(-(w // 2) // 128) * 128 if raw_cm else w // 2
 
@@ -291,10 +291,10 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
             pltpu.VMEM((2, 32, tr2 + 8, 2 * w), jnp.bfloat16),  # windows
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        # tr2=16 needs ~19.3 MB scoped VMEM — above the compiler's
-        # conservative 16 MB default but well within v5e's VMEM
+        # tr2=16 needs ~19.3 MB scoped VMEM, tr2=32 ~38 MB — above the
+        # compiler's conservative 16 MB default but within v5e's VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(xl1, k2_aug.astype(jnp.bfloat16))
     if raw_cm:
