@@ -222,3 +222,29 @@ def test_detector_pallas_stem_path_matches(rng):
     np.testing.assert_allclose(np.asarray(d2.boxes[:, 0]),
                                np.asarray(d1.boxes[:, 0]),
                                rtol=0.1, atol=2.0)
+
+
+def test_pallas_block_down_tro16_matches(rng):
+    """The tro=16 strip geometry must agree with tro=8 (interpret)."""
+    from uavdet_tpu.models.layers import CNNBlock, ResidualBlock
+    from uavdet_tpu.ops.pallas_block import fold_cnnblock, pallas_block_down
+
+    h2, w = 64, 96
+    x = jnp.asarray(rng.normal(size=(1, h2, w, 64)).astype(np.float32))
+    rb = ResidualBlock(64, num_repeats=1)
+    rb_v = rb.init(jax.random.key(1), x, False)
+    cn = CNNBlock(128, kernel_size=(3, 3), stride=(2, 2), padding=1)
+    cn_v = cn.init(jax.random.key(2), rb.apply(rb_v, x, False), False)
+    aug = (fold_cnnblock(rb_v["params"]["CNNBlock_0"],
+                         rb_v["batch_stats"]["CNNBlock_0"]),
+           fold_cnnblock(rb_v["params"]["CNNBlock_1"],
+                         rb_v["batch_stats"]["CNNBlock_1"]),
+           fold_cnnblock(cn_v["params"], cn_v["batch_stats"]))
+    x_cm = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.bfloat16)
+    x_cm = jnp.concatenate(
+        [x_cm, jnp.full((1, 64, 8, w), jnp.nan, jnp.bfloat16)], axis=2)
+
+    a = pallas_block_down(x_cm, *aug, h2=h2, tro=8, interpret=True)
+    b = pallas_block_down(x_cm, *aug, h2=h2, tro=16, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(a.astype(jnp.float32)), np.asarray(b.astype(jnp.float32)))
