@@ -39,6 +39,13 @@ def main():
     if not paths:
         print(f"no files match {args.images!r}", file=sys.stderr)
         return 1
+    # Key results by path RELATIVE to the glob root: Anti-UAV-style trees
+    # name frames identically across sequence dirs (train/*/visible/000.jpg),
+    # so basename keys would silently collide and drop detections.
+    root = os.path.commonpath(paths) if len(paths) > 1 else os.path.dirname(paths[0])
+    if os.path.isfile(root):
+        root = os.path.dirname(root)
+    rel = {p: os.path.relpath(p, root) for p in paths}
 
     import jax
     import jax.numpy as jnp
@@ -84,8 +91,11 @@ def main():
             with Image.open(p) as im:
                 arr = np.asarray(im.convert("RGB"))
             sizes.append(arr.shape[:2])
+            # BILINEAR matches the on-device jax.image.resize path used by
+            # train/eval preprocess(), keeping serving numerics aligned.
             frames.append(np.asarray(
-                Image.fromarray(arr).resize((input_size, input_size))))
+                Image.fromarray(arr).resize((input_size, input_size),
+                                            Image.BILINEAR)))
         # pad the tail chunk to the compiled batch size
         n = len(frames)
         while len(frames) < bs:
@@ -99,21 +109,22 @@ def main():
             sx, sy = w0 / input_size, h0 / input_size
             keep = valid[i] & (scores[i] >= args.score)
             bx = boxes[i][keep] * np.asarray([sx, sy, sx, sy])
-            results[os.path.basename(chunk[i])] = {
+            results[rel[chunk[i]]] = {
                 "boxes_xyxy": np.round(bx, 2).tolist(),
                 "scores": np.round(scores[i][keep], 4).tolist(),
             }
             if args.draw:
                 from uavdet_tpu.utils.viz import draw_bbox
-                os.makedirs(args.draw, exist_ok=True)
+                out_path = os.path.join(args.draw, rel[chunk[i]])
+                os.makedirs(os.path.dirname(out_path) or args.draw,
+                            exist_ok=True)
                 with Image.open(chunk[i]) as im:
                     # .copy(): PIL-backed arrays are readonly; cv2 draws
                     # in place
                     img = np.asarray(im.convert("RGB")).copy()
                 for b, s in zip(bx, scores[i][keep]):
                     img = draw_bbox(img, b, label=f"uav {s:.2f}")
-                Image.fromarray(img).save(
-                    os.path.join(args.draw, os.path.basename(chunk[i])))
+                Image.fromarray(img).save(out_path)
         print(f"{min(c0 + bs, len(paths))}/{len(paths)} frames")
 
     with open(args.out, "w") as f:

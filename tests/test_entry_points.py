@@ -84,6 +84,9 @@ def test_stage2_train(workdir):
     metrics = json.loads((workdir / "dvclive" / "metrics.json").read_text())
     assert "train" in metrics and "val" in metrics
     assert metrics["train"]["loss"] > 0
+    # reference metrics.json carries top-level step + epoch keys
+    # (/root/reference/dvclive/metrics.json:1-14)
+    assert "step" in metrics and metrics["epoch"] == 0
     # plots contract (dvc.yaml)
     for split in ("train", "val"):
         for m in ("loss", "bbox_loss", "obj_loss"):
@@ -106,17 +109,34 @@ def test_stage3_evaluate(workdir):
 
 def test_detect_cli(workdir):
     """scripts/detect.py: arbitrary frames → detections JSON in
-    original-image pixel coordinates (+ annotated copies)."""
-    glob_pat = str(workdir / "data" / "Anti-UAV-RGBT" / "train" / "*" /
-                   "visible" / "*.jpg")
+    original-image pixel coordinates (+ annotated copies). Frames are laid
+    out Anti-UAV-style — two sequence dirs with IDENTICAL frame names —
+    so basename-keyed results would silently collide (ADVICE r2)."""
     import glob as _glob
-    assert _glob.glob(glob_pat), glob_pat
+    import shutil
+    src = sorted(_glob.glob(str(
+        workdir / "data" / "Anti-UAV-RGBT" / "train" / "*" / "visible"
+        / "*.jpg")))
+    assert src
+    for seq in ("seqA", "seqB"):
+        d = workdir / "frames" / seq / "visible"
+        os.makedirs(d, exist_ok=True)
+        for p in src:
+            shutil.copy(p, d / os.path.basename(p))
+    glob_pat = str(workdir / "frames" / "*" / "visible" / "*.jpg")
+    n_frames = len(_glob.glob(glob_pat))
+    assert n_frames == 2 * len(src)
     r = _run("scripts/detect.py", workdir, "--images", glob_pat,
              "--out", "dets.json", "--score", "0.0",
              "--batch", "2", "--draw", "annotated")
     assert r.returncode == 0, r.stderr[-2000:]
     dets = json.loads((workdir / "dets.json").read_text())
-    assert len(dets) > 0
     first = next(iter(dets.values()))
     assert "boxes_xyxy" in first and "scores" in first
-    assert os.listdir(workdir / "annotated")
+    # every frame keyed (relative to the glob root) — no collisions
+    assert len(dets) == n_frames
+    assert all(k.startswith(("seqA", "seqB")) for k in dets)
+    # annotated copies mirror the relative tree (no flattening)
+    ann = [os.path.join(dp, f)
+           for dp, _, fs in os.walk(workdir / "annotated") for f in fs]
+    assert len(ann) == n_frames

@@ -15,8 +15,8 @@ def create_mosaic_4_img(images: List[np.ndarray], bboxes: List[np.ndarray],
                         target_size: Tuple[int, int] = (640, 640)):
     if len(images) < 4 or len(images) != len(bboxes):
         raise ValueError(
-            "Need at least 4 images and 4 sets of bounding boxes "
-            "to create a mosaic.")
+            f"mosaic requires >=4 images with one box array each; got "
+            f"{len(images)} images / {len(bboxes)} box arrays")
 
     import cv2
 

@@ -41,12 +41,15 @@ def export_detector(model, hparams, variables, input_size: int,
 
     The ``variables`` tree is closed over — the exported program carries
     the weights as constants. ``detector_kw`` forwards to
-    ``make_detector`` (score_threshold, pre_nms_topk, max_det, ...).
+    ``make_detector`` (score_threshold, pre_nms_topk, max_det, ...);
+    pass ``pallas_stem_variables=None`` there to disable the Pallas stem
+    (e.g. for 'cpu'-platform artifacts that cannot lower Mosaic calls).
     """
     from .inference import make_detector
 
+    stem_vars = detector_kw.pop("pallas_stem_variables", variables)
     detect = make_detector(model, hparams, input_size, dual=dual,
-                           pallas_stem_variables=variables, **detector_kw)
+                           pallas_stem_variables=stem_vars, **detector_kw)
 
     if dual:
         def fn(rgb, ir):

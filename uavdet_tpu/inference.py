@@ -202,8 +202,13 @@ def make_detector(model, hparams, input_size: int,
             out_shardings=NamedSharding(mesh, P("data")))
 
     stem = None
+    # Gate: the kernels emit whole 16-row strips, and the row-pair-folded
+    # layout additionally needs 128-aligned lanes (width) on real hardware
+    # — sizes like 608 would fail Mosaic compilation, so fall back to the
+    # XLA stem there instead. Interpret mode has no lane constraint.
+    _stem_ok = input_size % (16 if pallas_stem_interpret else 128) == 0
     if (pallas_stem_variables is not None and hasattr(model, "layer_config")
-            and input_size % 16 == 0):  # kernel emits whole 16-row strips
+            and _stem_ok):
         from .ops.pallas_stem_split import detector_stem_fast_path
         stem = detector_stem_fast_path(
             model, pallas_stem_variables, model.layer_config,

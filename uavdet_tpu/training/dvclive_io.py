@@ -31,6 +31,11 @@ class MetricsWriter:
         self._latest["step"] = self._step
         self._step += 1
 
+    def set_epoch(self, epoch: int):
+        """Record the current epoch — emitted as the top-level ``epoch``
+        key (reference dvclive/metrics.json:7)."""
+        self._latest["epoch"] = int(epoch)
+
     def flush(self):
         for (split, metric), rows in self._series.items():
             d = os.path.join(self.out_dir, "plots", "metrics", split)
@@ -43,8 +48,8 @@ class MetricsWriter:
         os.makedirs(self.out_dir, exist_ok=True)
         flat = {}
         for name, v in self._latest.items():
-            if name == "step":
-                flat["step"] = v
+            if name in ("step", "epoch"):
+                flat[name] = v
                 continue
             split, metric = name.split("/", 1)
             flat.setdefault(split, {})[metric] = v

@@ -39,12 +39,18 @@ def init_state(model, tx, rng, input_size: int, batch_size: int = 1,
 
 def _loss_weights(hparams):
     lb = hparams.loss_balancing
+    get = (hparams.get if hasattr(hparams, "get")
+           else lambda k, d: getattr(hparams, k, d))
     return dict(
         obj_scales_w=tuple(float(w) for w in lb.obj_scales_w),
         bbox_w=float(lb.bbox_w),
         objectness_w=float(lb.objectness_w),
         no_obj_w=float(lb.no_obj_w),
         bbox_loss_fn=str(hparams.bbox_loss_fn),
+        # 'elementwise' (default, deliberate improvement) or 'col0'
+        # (reference-exact ious[:, 0] soft labels, utils/postprocess.py:80-82)
+        # — selectable from params.yaml for parity training runs
+        iou_mode=str(get("iou_mode", "elementwise")),
     )
 
 

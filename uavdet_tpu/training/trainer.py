@@ -69,6 +69,13 @@ class Trainer:
         # 'dots_saveable') — recompute activations in the backward pass
         self.remat = tcfg.get("remat", False)
         self.nan_guard_retries = int(tcfg.get("nan_guard_retries", 3))
+        # Metric fetches batched every K steps: on the tunneled platform
+        # every host fetch is a roundtrip, so a per-step float(loss) caps
+        # Trainer.fit far below the raw step rate (VERDICT r2). Lightning's
+        # log_every_n_steps default is 50. nan_guard keeps its per-step
+        # fetch (it must inspect the loss before advancing the state).
+        self.log_every_n_steps = int(tcfg.get("log_every_n_steps", 50) or 1)
+        self._n_metric_syncs = 0  # host-fetch counter (contract-tested)
 
         # Lightning's check_val_every_n_epoch (reference train.py:55):
         # within-epoch validation (val_check_interval) only runs in
@@ -155,6 +162,7 @@ class Trainer:
                          else int(self.val_check_interval))
 
             nan_hits = 0
+            pending = []  # device-side metric dicts; ONE fetch per K steps
             for i, batch in enumerate(iter(self.train_pipe)):
                 if i >= n_train:
                     break
@@ -175,15 +183,15 @@ class Trainer:
                         state = self.ckpt.restore(state, "last")
                     continue
                 state = new_state
-                train_metrics.append(m)
-                self.metrics.log("train/loss", float(m["loss"]))
-                self.metrics.log("train/bbox_loss", float(m["bbox_loss"]))
-                self.metrics.log("train/obj_loss", float(m["obj_loss"]))
-                self.metrics.next_step()
+                pending.append(m)
+                if len(pending) >= self.log_every_n_steps:
+                    self._drain_metrics(pending, train_metrics)
 
                 val_epoch = (epoch + 1) % self.check_val_every_n_epoch == 0
                 if val_epoch and ((i + 1) % val_every == 0
                                   or (i + 1) == n_train):
+                    # drain first so step ordering in the tsv stays correct
+                    self._drain_metrics(pending, train_metrics)
                     val = self.validate(state, eval_step)
                     self.metrics.log("val/loss", val["val_loss"])
                     self.metrics.log("val/bbox_loss", val["val_bbox_loss"])
@@ -193,9 +201,11 @@ class Trainer:
                     self.ckpt.save(state, epoch, val)
                     final.update(val)
 
-            tm = {k: float(np.mean([float(m[k]) for m in train_metrics]))
+            self._drain_metrics(pending, train_metrics)
+            tm = {k: float(np.mean([m[k] for m in train_metrics]))
                   for k in ("loss", "bbox_loss", "obj_loss")}
             final.update({f"train_{k}": v for k, v in tm.items()})
+            self.metrics.set_epoch(epoch)
             print(f"epoch {epoch}: train_loss={tm['loss']:.5f} "
                   f"val_loss={final.get('val_loss', float('nan')):.5f} "
                   f"({time.time() - t0:.1f}s)")
@@ -206,6 +216,24 @@ class Trainer:
         self.metrics.flush()
         final["epoch"] = self.epochs - 1
         return final
+
+    def _drain_metrics(self, pending, train_metrics):
+        """Fetch all pending step metrics in ONE host sync and log them.
+
+        Until drained, step dispatch stays fully asynchronous — the step
+        loop never blocks on the device between drains."""
+        if not pending:
+            return
+        fetched = jax.device_get(pending)
+        self._n_metric_syncs += 1
+        for m in fetched:
+            row = {k: float(v) for k, v in m.items()}
+            train_metrics.append(row)
+            self.metrics.log("train/loss", row["loss"])
+            self.metrics.log("train/bbox_loss", row["bbox_loss"])
+            self.metrics.log("train/obj_loss", row["obj_loss"])
+            self.metrics.next_step()
+        pending.clear()
 
     def validate(self, state: TrainState, eval_step) -> dict:
         n_val = _limit(len(self.val_pipe), self.val_limit)
@@ -230,6 +258,10 @@ class Trainer:
             ms.append(eval_step(state, batch))
             if detect is not None:
                 self._update_ap(ap_metric, detect, state, batch)
+        # one batched host fetch for the whole validation pass
+        if ms:
+            ms = jax.device_get(ms)
+            self._n_metric_syncs += 1
         out = {}
         for k in ("loss", "bbox_loss", "obj_loss"):
             out[f"val_{k}"] = float(np.mean([float(m[k]) for m in ms]))
