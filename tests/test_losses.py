@@ -67,22 +67,36 @@ def _t_ciou_loss(a, b, eps=1e-7):
 
 
 def oracle_loss(p_bboxes, p_objs, grids, bbox_loss_fn,
-                iou_mode="elementwise"):
+                iou_mode="elementwise", anchors=None, head_scales=None,
+                lb=None):
     """Per-sample × per-head loop, following model/_base.py:155-212.
 
     ``iou_mode='col0'`` reproduces the reference's ``ious[:, 0]`` exactly
     (utils/postprocess.py:82): every positive pred scored against the
     FIRST positive target (torch boolean indexing order = row-major
-    (A,S,S) flatten, the same order the JAX implementation uses)."""
+    (A,S,S) flatten, the same order the JAX implementation uses).
+
+    Accepts live torch tensors for the predictions (autograd flows
+    through — used by the training-trajectory parity test) or anything
+    np.array-able. anchors/head_scales/lb default to this module's
+    fixture constants."""
+    anchors = ANCHORS if anchors is None else np.asarray(anchors, np.float32)
+    head_scales = HEAD_SCALES if head_scales is None else head_scales
+    LB = globals()["LB"] if lb is None else lb
+
+    def _t(x):
+        return x if isinstance(x, torch.Tensor) \
+            else torch.tensor(np.array(x))
+
     batch = p_bboxes[0].shape[0]
     bbox_losses, obj_losses = torch.tensor(0.0), torch.tensor(0.0)
 
     for i in range(batch):
-        for h in range(3):
-            sa = torch.tensor(ANCHORS[h]) / HEAD_SCALES[h]
-            p_bbox = torch.tensor(np.array(p_bboxes[h][i]))
-            p_obj = torch.tensor(np.array(p_objs[h][i]))[..., 0]
-            t = torch.tensor(np.array(grids[h][i]))
+        for h in range(len(p_bboxes)):
+            sa = torch.tensor(anchors[h]) / head_scales[h]
+            p_bbox = _t(p_bboxes[h][i])
+            p_obj = _t(p_objs[h][i])[..., 0]
+            t = _t(grids[h][i])
             t_obj, t_bbox = t[..., 0], t[..., 1:].clone()
             pos = t_obj == 1.0
 
