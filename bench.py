@@ -69,7 +69,10 @@ def _detector_bench(name, hparams, batch, input_size, iters, warmup,
 
     mb = microbatch or batch
     model = build_model(name, hparams, dtype=jnp.bfloat16)
-    x_init = jnp.zeros((mb, input_size, input_size, 3), jnp.float32)
+    # init at batch 1: params are batch-independent, and a full-batch init
+    # would run the UNFOLDED forward (cfg3's bs=32 @1280 only fits via the
+    # folded-stem inference path)
+    x_init = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
     variables = model.init(jax.random.key(0), x_init, train=False)
     # fused Pallas stem fast path (silently falls back when the model's
     # layer_config doesn't start with the DyConv 3->32/32->64 stem)
@@ -253,11 +256,12 @@ def main():
                     help="model name override (default: params.yaml)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for a fast CI smoke run")
-    ap.add_argument("--microbatch", type=int, default=16,
-                    help="cfg3: sequential sub-batch size (full bs=32 @1280"
-                    " exceeds HBM by 47 MB — a 12.5 GB 4x-lane-padded"
-                    " layout XLA picks for the 32-channel stem output;"
-                    " microbatch 16 fits with the decode/s2d fixes)")
+    ap.add_argument("--microbatch", type=int, default=None,
+                    help="cfg3: sequential sub-batch size. Default: the"
+                    " full bs=32 in ONE program — the folded-stem path"
+                    " (models/dysoem_simfpn.py::fold_input_stem) composes"
+                    " the 1x1 stem past space_to_depth so the 12.5 GB"
+                    " 4x-lane-padded stem activation never materializes")
     ap.add_argument("--no-pallas-stem", action="store_true",
                     help="disable the fused Pallas stem fast path")
     ap.add_argument("--config", type=int, default=None,

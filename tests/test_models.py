@@ -182,3 +182,67 @@ def test_registry_dispatch():
     assert isinstance(m, DyYOLO)
     with pytest.raises(ValueError):
         build_model("RTMUAVDet", H)  # not dispatchable, like the reference
+
+
+def test_folded_stem_matches_unfolded(rng):
+    """fold_input_stem (cfg3's HBM fix): the block-diagonal folded front
+    + stem_folded tail must reproduce the plain model bit-closely in
+    eval mode (the fold only adds exact-zero terms to each dot product).
+    Reference ops being composed: model/DySOEM_SimFPN.py:27-33 + :71-75."""
+    import jax
+    from uavdet_tpu.models.dysoem_simfpn import fold_input_stem
+
+    m = DySOEM_SimFPN()
+    x = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = m.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)),
+                       train=False)
+    # randomize running stats so the BN epilogue actually matters
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * rng.standard_normal(v.shape).astype(v.dtype)
+        if v.ndim == 1 else v, variables)
+
+    want = m.apply(variables, jnp.asarray(x), train=False)
+
+    front = fold_input_stem(variables)
+    tail = m.clone(stem_folded=True)
+    got = tail.apply(variables, front(jnp.asarray(x)), train=False)
+
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g.bbox), np.asarray(w.bbox),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g.obj), np.asarray(w.obj),
+                                   rtol=1e-5, atol=1e-5)
+
+    # uint8 entry folds /255 identically to preprocess()
+    xu = (x * 255).astype(np.uint8)
+    got_u = tail.apply(variables, front(jnp.asarray(xu)), train=False)
+    want_u = m.apply(variables,
+                     jnp.asarray(xu.astype(np.float32) / 255.0),
+                     train=False)
+    np.testing.assert_allclose(np.asarray(got_u[0].bbox),
+                               np.asarray(want_u[0].bbox),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_folded_stem_detector_end_to_end(rng):
+    """make_detector auto-activates the DySOEM fold when variables are
+    given; detections must match the non-folded detector exactly."""
+    import jax
+    from uavdet_tpu.inference import make_detector
+    from tests.test_inference import HP
+
+    m = DySOEM_SimFPN()
+    variables = m.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                       train=False)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8))
+    kw = dict(compute_dtype=jnp.float32, pre_nms_topk=64, max_det=8,
+              score_threshold=0.0)
+    plain = make_detector(m, HP, 64, **kw)
+    folded = make_detector(m, HP, 64, pallas_stem_variables=variables, **kw)
+    a = plain(variables, imgs)
+    b = folded(variables, imgs)
+    np.testing.assert_allclose(np.asarray(b.boxes), np.asarray(a.boxes),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.scores), np.asarray(a.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b.valid), np.asarray(a.valid))

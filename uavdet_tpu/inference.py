@@ -215,6 +215,20 @@ def make_detector(model, hparams, input_size: int,
             getattr(model, "attn_temperature", 30.0),
             interpret=pallas_stem_interpret, input_size=input_size)
 
+    # DySOEM folded-stem fast path (exact; eval-only): the 1×1 stem is
+    # algebraically composed past soem_0's space_to_depth so the
+    # 4×-lane-padded full-res stem activation never materializes — the
+    # fix that lets cfg3 run its real bs=32 @1280 in one program. See
+    # fold_input_stem's docstring.
+    if (pallas_stem_variables is not None and stem is None
+            and hasattr(model, "stem_folded") and not model.stem_folded
+            and input_size % 2 == 0):
+        from .models.dysoem_simfpn import fold_input_stem
+        front = fold_input_stem(pallas_stem_variables,
+                                dtype=compute_dtype)
+        stem = (front, model.clone(stem_folded=True),
+                pallas_stem_variables)
+
     def _body(variables, x) -> Detections:
         """x: frames at the detector grid — raw uint8 (fused-stem /255
         fold) or preprocessed compute-dtype floats."""

@@ -42,17 +42,39 @@ RA = 128         # L1 rows per kernel-A strip (the kernels are
                  # per-program-overhead-bound — bigger strips win)
 
 
-def make_l1_kernel(w: int, h: int, w_pad: int):
+def make_l1_kernel(w: int, h: int, w_pad: int, n_a: int):
+    # The input DMA is double-buffered over the GLOBAL strip counter
+    # (measured r3: the original start+wait-in-place serialization cost
+    # ~1.4 ms of the kernel's 5.6 — the DMA latency was never hidden).
     def kern(x_ref, k1_ref, xl1_ref, sums_ref, p1_ref, xs_ref, sem):
         bi = pl.program_id(0)
         ai = pl.program_id(1)
+        n_b = pl.num_programs(0)
 
-        p0 = pl.multiple_of(ai * RA, RA)
-        dma = pltpu.make_async_copy(
-            x_ref.at[bi, :, pl.ds(p0, RA + 16), :], xs_ref, sem)
-        dma.start()
-        dma.wait()
-        xs = xs_ref[...]                      # (3, RA+16, w_pad)
+        def strip_copy(b_, a_, slot):
+            p0 = pl.multiple_of(a_ * RA, RA)
+            return pltpu.make_async_copy(
+                x_ref.at[b_, :, pl.ds(p0, RA + 16), :], xs_ref.at[slot],
+                sem.at[slot])
+
+        g = bi * n_a + ai
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g == 0)
+        def _():
+            strip_copy(0, 0, 0).start()
+
+        strip_copy(bi, ai, slot).wait()
+
+        @pl.when(ai + 1 < n_a)
+        def _():
+            strip_copy(bi, ai + 1, 1 - slot).start()
+
+        @pl.when((ai + 1 == n_a) & (bi + 1 < n_b))
+        def _():
+            strip_copy(bi + 1, 0, 1 - slot).start()
+
+        xs = xs_ref[slot]                     # (3, RA+16, w_pad)
 
         t = 0
         for ki in range(3):
@@ -71,10 +93,14 @@ def make_l1_kernel(w: int, h: int, w_pad: int):
             preferred_element_type=jnp.float32)   # (32, RA, w)
         xl1 = acc1 * jax.nn.sigmoid(acc1)
 
-        # zero rows beyond the image (array is over-allocated)
-        row = jax.lax.broadcasted_iota(jnp.int32, (RA, w), 0) + ai * RA
-        mask = jnp.where(row < h, 1.0, 0.0)
-        xbf = (xl1 * mask[None]).astype(jnp.bfloat16)
+        if h % RA != 0:
+            # zero rows beyond the image (array is over-allocated). The
+            # conv of the zero-padded rows yields silu(bias) ≠ 0, so this
+            # mask is required — but only when strips overhang the image.
+            row = jax.lax.broadcasted_iota(jnp.int32, (RA, w), 0) + ai * RA
+            mask = jnp.where(row < h, 1.0, 0.0)
+            xl1 = xl1 * mask[None]
+        xbf = xl1.astype(jnp.bfloat16)
         # row-pair fold: (32, RA, w) → (32, RA/2, 2w) so kernel B's
         # stride-2 taps read even/odd rows as lane banks with NO staging
         xl1_ref[0] = xbf.reshape(32, RA // 2, 2 * w)
@@ -213,7 +239,7 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
                   (1, w_pad - w - 1)))
 
     xl1, strip_sums = pl.pallas_call(
-        make_l1_kernel(w, h, w_pad),
+        make_l1_kernel(w, h, w_pad, n_a),
         grid=(b, n_a),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -233,8 +259,8 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
         ],
         scratch_shapes=[
             pltpu.VMEM((28, RA, w), jnp.bfloat16),
-            pltpu.VMEM((3, RA + 16, w_pad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 3, RA + 16, w_pad), jnp.bfloat16),  # dbl-buf
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
