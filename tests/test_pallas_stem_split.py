@@ -248,3 +248,87 @@ def test_pallas_block_down_tro16_matches(rng):
     b = pallas_block_down(x_cm, *aug, h2=h2, tro=16, interpret=True)
     np.testing.assert_array_equal(
         np.asarray(a.astype(jnp.float32)), np.asarray(b.astype(jnp.float32)))
+
+
+def test_imgfold_block_matches_flax(rng):
+    """ops.imgfold: ResidualBlock(64) + CNNBlock(128,3,s2) on the
+    4-image-folded layout with block-diagonal kernels must equal the
+    plain flax modules exactly (the fold only adds zero terms)."""
+    from uavdet_tpu.models.layers import CNNBlock, ResidualBlock
+    from uavdet_tpu.ops.imgfold import (
+        fold_images, folded_block_down, unfold_images)
+
+    import flax.linen as fnn
+
+    class Pair(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            x = ResidualBlock(64, num_repeats=1)(x, train)
+            return CNNBlock(128, kernel_size=(3, 3), stride=(2, 2),
+                            padding=1)(x, train)
+
+    m = Pair()
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 64)).astype(np.float32))
+    variables = m.init(jax.random.key(0), x, train=False)
+    want = m.apply(variables, x, train=False)
+
+    p, s = variables["params"], variables["batch_stats"]
+    for fold in (1, 4):
+        xf = fold_images(x, fold)
+        yf = folded_block_down(
+            xf, p["ResidualBlock_0"], s["ResidualBlock_0"],
+            p["CNNBlock_0"], s["CNNBlock_0"], fold, dtype=jnp.float32)
+        got = unfold_images(yf, fold)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"fold={fold}")
+
+
+def test_imgfold_roundtrip(rng):
+    from uavdet_tpu.ops.imgfold import fold_images, unfold_images
+    x = jnp.asarray(rng.normal(size=(8, 4, 6, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(unfold_images(fold_images(x, 4), 4)), np.asarray(x))
+
+
+def test_detector_imgfold_path_matches(rng, monkeypatch):
+    """The imgfold fast path (tokens ["B",1],[128,3,2] consumed by the
+    folded section; default-off — measured slower end-to-end, PERF.md)
+    must reproduce the standard flax detector."""
+    from uavdet_tpu.inference import make_detector
+
+    monkeypatch.setenv("UAVDET_IMGFOLD", "1")
+
+    cfg = (("DyConv", 32, 3, 1), ("DyConv", 64, 3, 2), ("B", 1),
+           (128, 3, 2), ("B", 8), (256, 3, 2), (128, 1, 1),
+           (256, 3, 1), ("S",), (64, 1, 1), ("U",), (64, 1, 1),
+           (128, 3, 1), ("S",))
+    model = DyYOLO(layer_config=cfg, attn_temperature=30.0)
+    x = jnp.asarray((rng.uniform(size=(4, 64, 64, 3)) * 255).astype(
+        np.uint8))
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    class HP:
+        anchors = [[[40, 30], [60, 46], [54, 36]],
+                   [[18, 14], [24, 18], [30, 12]]]
+        bbox_loss_fn = "mse"
+
+    std = make_detector(model, HP, 64, compute_dtype=jnp.float32,
+                        pre_nms_topk=64, max_det=8)
+    fast = make_detector(model, HP, 64, compute_dtype=jnp.float32,
+                         pre_nms_topk=64, max_det=8,
+                         pallas_stem_variables=variables,
+                         pallas_stem_interpret=True)
+    d1 = std(variables, x)
+    d2 = fast(variables, x)
+    np.testing.assert_allclose(np.asarray(d2.scores), np.asarray(d1.scores),
+                               rtol=0.05, atol=0.01)
+    np.testing.assert_allclose(np.asarray(d2.boxes[:, 0]),
+                               np.asarray(d1.boxes[:, 0]),
+                               rtol=0.1, atol=2.0)
+    # batch 2 (not divisible by 4) must take the fold=1 path and agree too
+    d3 = fast(variables, x[:2])
+    np.testing.assert_allclose(np.asarray(d3.scores),
+                               np.asarray(d1.scores[:2]),
+                               rtol=0.05, atol=0.01)

@@ -272,9 +272,11 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
     return xl1, sums
 
 
-@partial(jax.jit, static_argnames=("h", "over_rows", "raw_cm", "interpret"))
+@partial(jax.jit, static_argnames=("h", "over_rows", "raw_cm", "interpret",
+                                   "fold"))
 def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
-              raw_cm: bool = False, interpret: bool = False):
+              raw_cm: bool = False, interpret: bool = False,
+              fold: int = 1):
     """xl1 (B,32,Hp/2,2W) folded bf16 from pallas_l1 → (B,H/2,W/2,64) NHWC.
 
     ``h`` is the TRUE image height; pallas_l1 over-allocates
@@ -288,7 +290,11 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
     (a downstream strip kernel's aligned read window, e.g.
     ``pallas_block.pallas_block_down`` wants 8). ``raw_cm``: return the
     raw (B, 64, H/2 + over_rows, ceil(W/2 /128)·128) channel-major array
-    — lanes past W/2 are zero — instead of the sliced NHWC transpose."""
+    — lanes past W/2 are zero — instead of the sliced NHWC transpose.
+
+    ``fold``: emit the image-FOLDED NHWC layout (B/fold, H/2, W/2,
+    fold·64) for ``ops.imgfold`` instead of plain NHWC — the same single
+    relayout the NHWC transpose costs anyway, so the fold is free."""
     b, _, hp2, w2 = xl1.shape
     w = w2 // 2
     if h is None:
@@ -325,18 +331,30 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
     )(xl1, k2_aug.astype(jnp.bfloat16))
     if raw_cm:
         return out
+    if fold > 1:
+        h2, w2 = h // 2, w // 2
+        return out[:, :, :h2].reshape(
+            b // fold, fold, 64, h2, w2).transpose(
+            0, 3, 4, 1, 2).reshape(b // fold, h2, w2, fold * 64)
     return out[:, :, :h // 2].transpose(0, 2, 3, 1)
 
 
 def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                        attn_temp: float, interpret: bool = False,
-                       block_aug=None):
+                       block_aug=None, imgfold=None):
     """Full two-pass fused stem from DyYOLO parameter trees.
 
     ``block_aug``: optional (w1_aug, k2_aug, k3_aug) folded matrices from
     ``pallas_block.fold_cnnblock`` — when given, the post-stem
     ResidualBlock + 3x3-s2 downsample also run fused
     (``pallas_block_down``) and the result is (B, H/4, W/4, 128) NHWC.
+
+    ``imgfold``: optional (rb_params, rb_stats, down_params, down_stats)
+    trees — the same post-stem ResidualBlock + downsample run on the
+    image-FOLDED layout instead (``ops.imgfold``: 4 images stacked on
+    lanes, block-diagonal kernels, zero lane padding; exact numerics) and
+    the result is (B, H/4, W/4, 128) NHWC. Mutually exclusive with
+    ``block_aug``.
 
     x: (B, H, W, 3) — either preprocessed frames in [0, 1] (any float
     dtype) or RAW uint8 frames: for uint8 the /255 normalization is
@@ -388,6 +406,15 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                       bn1p["bias"], bn1s["mean"], bn1s["var"],
                       out_channels=64)
 
+    if imgfold is not None:
+        from .imgfold import folded_block_down, unfold_images
+        rb_p, rb_s, dn_p, dn_s = imgfold
+        fold = 4 if b % 4 == 0 else 1
+        xf = pallas_l2(xl1, k2, h=h, interpret=interpret, fold=fold)
+        yf = folded_block_down(xf, rb_p, rb_s, dn_p, dn_s, fold,
+                               dtype=jnp.bfloat16)
+        return unfold_images(yf, fold)
+
     if block_aug is None:
         return pallas_l2(xl1, k2, h=h, interpret=interpret)
 
@@ -433,17 +460,28 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
 
     import os
 
-    # The block kernel emits whole 8-row strips at H/4 → needs H % 32 == 0.
-    # OFF by default: bit-exact and fully tested, but measured SLOWER than
-    # XLA for the same layers (12.5 vs 9.2 ms standalone at bs=16 @640) —
-    # the strip-kernel per-program overhead (~20-40 µs × 320 programs)
-    # eats the fusion win; see PERF.md. UAVDET_PALLAS_BLOCK=1 enables.
-    with_block = (len(cfg) >= 4 and cfg[2] == ["B", 1]
-                  and cfg[3] == [128, 3, 2]
+    # The post-stem ResidualBlock + 3x3-s2 downsample tokens can be
+    # consumed by one of two OPTIONAL fast paths — both fully tested,
+    # both measured SLOWER than plain XLA end-to-end, kept as documented
+    # negative results (PERF.md):
+    #  * imgfold (UAVDET_IMGFOLD=1; pure XLA): 4 images stacked on lanes
+    #    with block-diagonal kernels (ops/imgfold.py). Exact numerics and
+    #    the fold relayout is free (replaces the NHWC transpose), but the
+    #    block-diagonal 3x3 kernels carry 4× the real MXU FLOPs, which
+    #    outweighs the lane-padding traffic it saves (bench r3: 449.6 vs
+    #    480.5 fps).
+    #  * pallas_block kernel (UAVDET_PALLAS_BLOCK=1; needs H % 32 == 0):
+    #    bit-exact, but strip-kernel per-program overhead eats the fusion
+    #    win (12.5 vs 9.2 ms standalone at bs=16 @640).
+    tokens_match = (len(cfg) >= 4 and cfg[2] == ["B", 1]
+                    and cfg[3] == [128, 3, 2])
+    with_block = (tokens_match
                   and input_size is not None and input_size % 32 == 0
                   and os.environ.get("UAVDET_PALLAS_BLOCK", "0") == "1")
+    with_imgfold = (tokens_match and not with_block
+                    and os.environ.get("UAVDET_IMGFOLD", "0") == "1")
     shifts = {"DyConvModule_": 2}
-    if with_block:
+    if with_block or with_imgfold:
         shifts.update({"ResidualBlock_": 1, "CNNBlock_": 1})
 
     def rekey(tree):
@@ -463,7 +501,7 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
         "params": {"net": rekey(p)},
         "batch_stats": {"net": rekey(s)},
     }
-    n_skip = 4 if with_block else 2
+    n_skip = 4 if (with_block or with_imgfold) else 2
     tail_model = DyYOLO(layer_config=tuple(tuple(t) for t in cfg[n_skip:]),
                         attn_temperature=attn_temp,
                         n_anchors=model.n_anchors, dtype=model.dtype)
@@ -481,9 +519,14 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
             fold_cnnblock(p["CNNBlock_0"], s["CNNBlock_0"]),
         )
 
+    imgfold = None
+    if with_imgfold:
+        imgfold = (p["ResidualBlock_0"], s["ResidualBlock_0"],
+                   p["CNNBlock_0"], s["CNNBlock_0"])
+
     def stem_fn(x):
         return fused_stem_forward(x, dy0p, dy0s, dy1p, dy1s, attn_temp,
                                   interpret=interpret,
-                                  block_aug=block_aug)
+                                  block_aug=block_aug, imgfold=imgfold)
 
     return stem_fn, tail_model, tail_variables
