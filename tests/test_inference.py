@@ -182,3 +182,34 @@ def test_validate_targets():
     validate_targets(grids, [4, 8, 16])
     with pytest.raises(AssertionError):
         validate_targets(grids, [4, 8])
+
+
+def test_decode_topk_global_matches_two_stage(rng):
+    """decode_topk_global (ONE top_k) must equal the previous two-stage
+    formulation — per-head decode_topk_heads, threshold, per-image
+    global top-k — EXACTLY (same candidate set, same descending order,
+    same tie-breaking by concatenated index)."""
+    from uavdet_tpu.inference import decode_topk_global, decode_topk_heads
+
+    sizes = [4, 8, 16]
+    outs = []
+    for s in sizes:
+        outs.append(DetectionResults(
+            bbox=jnp.asarray(rng.normal(size=(2, 3, s, s, 4)).astype(
+                np.float32)),
+            obj=jnp.asarray(rng.normal(size=(2, 3, s, s, 1)).astype(
+                np.float32))))
+    scales = [16, 8, 4]
+    k = 48
+
+    gb, gs = decode_topk_global(outs, HP_ANCHORS, scales, k)
+
+    hb, hs = decode_topk_heads(outs, HP_ANCHORS, scales, k)
+    ts, ti = jax.lax.top_k(hs, k)
+    tb = jnp.take_along_axis(hb, ti[..., None], axis=1)
+
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(ts))
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(tb))
+    # sorted descending (the order NMS consumes)
+    s = np.asarray(gs)
+    assert (np.diff(s, axis=1) <= 0).all()

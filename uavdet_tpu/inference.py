@@ -157,6 +157,76 @@ def decode_topk_heads(outs, anchors: np.ndarray,
             jnp.concatenate(all_s, axis=1))
 
 
+def decode_topk_global(outs, anchors: np.ndarray,
+                       head_scales: Sequence[int], pre_nms_topk: int):
+    """ONE global top-k over the concatenated objectness logits of all
+    heads, then decode only the survivors.
+
+    Exactly equivalent to ``decode_topk_heads`` + threshold + per-image
+    global top-k (the two-stage composition computes the global top-k of
+    all candidates; sigmoid is monotonic; and ties break by lowest
+    concatenated index in BOTH formulations since the concat preserves
+    head-major candidate order) — but it issues a single ``lax.top_k``
+    instead of four: measured on v5e, each top_k call carries ~0.6 ms of
+    n-independent fixed cost (n=1200 sorts as slowly as n=4800), so
+    collapsing 3 per-head sorts + the per-image re-sort into one
+    full-width sort is a net ~1.5 ms win at 640px bs=16 (PERF.md r3).
+
+    → boxes (B, k, 4) xyxy f32, scores (B, k) f32 — sorted by
+    DESCENDING score (the order NMS consumes).
+    """
+    b = outs[0].obj.shape[0]
+    heads = []
+    off = 0
+    for h, out in enumerate(outs):
+        _, a, hh, ww, _ = out.obj.shape
+        heads.append((off, a, hh, ww))
+        off += a * hh * ww
+    n = off
+    k = min(pre_nms_topk, n)
+
+    logits = jnp.concatenate([o.obj.reshape(b, -1) for o in outs], axis=1)
+    bbox = jnp.concatenate([o.bbox.reshape(b, -1, 4) for o in outs],
+                           axis=1)
+    # sort in the head's native dtype (bf16 on TPU — see
+    # decode_topk_heads); kept logits re-read at full precision below
+    top_l, top_i = jax.lax.top_k(logits, k)
+
+    # static per-head lookup tables, indexed by the candidate's head id
+    offs = np.asarray([hd[0] for hd in heads] + [n], np.int32)
+    hid = jnp.sum(top_i[..., None] >= jnp.asarray(offs[1:-1])[None, None],
+                  axis=-1) if len(heads) > 1 else jnp.zeros_like(top_i)
+    scale_t = jnp.asarray(head_scales, jnp.float32)
+    ww_t = jnp.asarray([hd[3] for hd in heads], jnp.int32)
+    hw_t = jnp.asarray([hd[2] * hd[3] for hd in heads], jnp.int32)
+    off_t = jnp.asarray(offs[:-1])
+    # anchors flattened (H*A, 2) so (head, anchor) indexes one table
+    anc = np.asarray(anchors, np.float32)          # (H, A, 2)
+    n_a = anc.shape[1]
+    anc_t = jnp.asarray(anc.reshape(-1, 2))
+
+    rel = top_i - jnp.take(off_t, hid)
+    hw = jnp.take(hw_t, hid)
+    ww = jnp.take(ww_t, hid)
+    ai = rel // hw
+    rem = rel % hw
+    gx = (rem % ww).astype(jnp.float32)
+    gy = (rem // ww).astype(jnp.float32)
+    scale = jnp.take(scale_t, hid)
+    aw = jnp.take(anc_t[:, 0], hid * n_a + ai)
+    ah = jnp.take(anc_t[:, 1], hid * n_a + ai)
+
+    sel = jnp.take_along_axis(bbox, top_i[..., None], axis=1)
+    s = jax.nn.sigmoid(sel.astype(jnp.float32))
+    cx = (s[..., 0] * 2.0 - 0.5 + gx) * scale
+    cy = (s[..., 1] * 2.0 - 0.5 + gy) * scale
+    w_ = (s[..., 2] * 2.0) ** 2 * aw
+    h_ = (s[..., 3] * 2.0) ** 2 * ah
+    boxes = jnp.stack([cx - w_ / 2, cy - h_ / 2,
+                       cx + w_ / 2, cy + h_ / 2], axis=-1)
+    return boxes, jax.nn.sigmoid(top_l.astype(jnp.float32))
+
+
 def make_detector(model, hparams, input_size: int,
                   score_threshold: float = 0.001,
                   nms_iou: float = 0.5, pre_nms_topk: int = 512,
@@ -240,14 +310,16 @@ def make_detector(model, hparams, input_size: int,
                 x = preprocess(x, input_size, compute_dtype)
             outs = model.apply(variables, x, train=False)
         scales = tuple(input_size // o.obj.shape[2] for o in outs)
-        boxes, scores = decode_topk_heads(outs, anchors, scales,
-                                          pre_nms_topk)
+        # ONE global top-k across all heads; candidates arrive sorted by
+        # descending score, so the old per-image re-top-k is gone too
+        # (provably identical output — see decode_topk_global)
+        boxes, scores = decode_topk_global(outs, anchors, scales,
+                                           pre_nms_topk)
+        # scores are descending, so the below-threshold entries form a
+        # suffix: masking to -inf preserves sorted order for NMS
         scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
 
-        def per_image(bx, sc):
-            k = min(pre_nms_topk, sc.shape[0])
-            top_sc, top_i = jax.lax.top_k(sc, k)
-            top_bx = bx[top_i]
+        def per_image(top_bx, top_sc):
             keep_idx, alive, order = nms(top_bx, top_sc, nms_iou, max_det)
             valid = keep_idx >= 0
             safe = jnp.maximum(keep_idx, 0)
