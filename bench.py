@@ -246,6 +246,70 @@ def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640):
           f"accum=2", batch * 10 / dt)
 
 
+def _host_data_bench(name, hparams, input_size, batch, epochs, workers):
+    """End-to-end fps WITH the real host data path: JPEG files on disk →
+    DataPipeline (native C++ thread-pool decoder when available) →
+    jitted detector — the reference's actual serving regime (32-worker
+    DataLoader, reference dataset/_helper.py:176-179). This host has ONE
+    CPU core, so the sustained number is expected to be DECODE-bound far
+    below the device-only headline; both the combined fps and the
+    pure host decode ceiling are printed (the JSON line reports the
+    combined number)."""
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from uavdet_tpu.data import (DataPipeline, build_index,
+                                 make_synthetic_dataset)
+    from uavdet_tpu.data.native import native_available
+    from uavdet_tpu.inference import make_detector
+    from uavdet_tpu.models import build_model
+
+    root = tempfile.mkdtemp(prefix="uavdet_hostbench_")
+    make_synthetic_dataset(root, splits=("train",), n_seq=2, n_frames=48,
+                           img_size=input_size)
+    recs = build_index(os.path.join(root, "train"))
+    pipe = DataPipeline(recs, input_size, batch, train=False,
+                        workers=workers, drop_last=True)
+    n_frames_epoch = len(pipe) * batch
+
+    model = build_model(name, hparams, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+        train=False)
+    detect = make_detector(model, hparams, input_size,
+                           pallas_stem_variables=variables)
+
+    # pure host decode ceiling (no device work)
+    t0 = time.perf_counter()
+    n = 0
+    for b in iter(pipe):
+        n += b.image.shape[0]
+    host_fps = n / (time.perf_counter() - t0)
+
+    def run_epoch():
+        out = None
+        for b in iter(pipe):
+            out = detect(variables, jnp.asarray(b.image))
+        # real device sync (block_until_ready lies on axon)
+        return float(jnp.sum(out.scores))
+
+    run_epoch()  # warmup: compile + native-decoder spin-up
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        run_epoch()
+    fps = epochs * n_frames_epoch / (time.perf_counter() - t0)
+    print(f"# host decode ceiling: {host_fps:.1f} fps "
+          f"(native={native_available()}, workers={workers}, 1 CPU core); "
+          f"device-only headline for comparison: see default bench",
+          file=sys.stderr)
+    _emit(f"fps end-to-end WITH host data path (jpeg decode->detect) "
+          f"{name} @ {input_size}px bs={batch} over {epochs} epochs "
+          f"[host-bound]", fps)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -264,6 +328,14 @@ def main():
                     " 4x-lane-padded stem activation never materializes")
     ap.add_argument("--no-pallas-stem", action="store_true",
                     help="disable the fused Pallas stem fast path")
+    ap.add_argument("--host-data", action="store_true",
+                    help="measure end-to-end fps WITH the host data path"
+                    " (on-disk JPEGs -> DataPipeline -> detector),"
+                    " sustained over --epochs epochs")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--workers", type=int, default=None,
+                    help="host-data mode: decode workers (default: cpu"
+                    " count)")
     ap.add_argument("--config", type=int, default=None,
                     choices=[1, 2, 3, 4, 5, 6],
                     help="BASELINE.json workload config (see module doc)")
@@ -287,7 +359,11 @@ def main():
             [128, 3, 1], ["S"], [32, 1, 1], ["U"], [32, 1, 1], [64, 3, 1],
             ["S"], [16, 1, 1], ["U"], [16, 1, 1], [32, 3, 1], ["S"]]
 
-    if args.config is None:
+    if args.host_data:
+        import os
+        _host_data_bench(name, hparams, input_size, batch, args.epochs,
+                         args.workers or os.cpu_count() or 1)
+    elif args.config is None:
         _detector_bench(name, hparams, batch, input_size, args.iters,
                         args.warmup,
                         pre_nms_topk=256 if args.smoke else 512,
