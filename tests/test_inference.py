@@ -213,3 +213,29 @@ def test_decode_topk_global_matches_two_stage(rng):
     # sorted descending (the order NMS consumes)
     s = np.asarray(gs)
     assert (np.diff(s, axis=1) <= 0).all()
+
+
+def test_detector_bs1_branch_matches_batched(rng):
+    """make_detector picks the two-stage top-k at batch 1 (measured faster
+    there — PERF.md cfg1) and the single global sort at batch>1; the two
+    branches must produce identical surviving detections for the same
+    image."""
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    imgs = rng.uniform(size=(3, 64, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(1), jnp.asarray(imgs),
+                           train=False)
+    from tests.test_train_step import HP as THP
+    detect = make_detector(model, THP, 64, compute_dtype=jnp.float32,
+                           score_threshold=0.01, pre_nms_topk=64,
+                           max_det=16)
+    d1 = detect(variables, jnp.asarray(imgs[:1]))
+    d3 = detect(variables, jnp.asarray(imgs))
+    v1, v3 = np.asarray(d1.valid[0]), np.asarray(d3.valid[0])
+    np.testing.assert_array_equal(v1, v3)
+    n = int(v1.sum())
+    assert n >= 1  # untrained logits still clear the 0.01 threshold
+    np.testing.assert_allclose(np.asarray(d1.scores[0][:n]),
+                               np.asarray(d3.scores[0][:n]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1.boxes[0][:n]),
+                               np.asarray(d3.boxes[0][:n]),
+                               rtol=1e-5, atol=1e-4)
