@@ -7,13 +7,18 @@ before all of L1 is computed. Kernel A produces the L1 activation
 computes attn₂ → the folded L2 matrix; kernel B consumes the activation.
 
 Alignment choreography (Mosaic DMA needs 8-aligned sublane starts):
-  * A: x is stored with 8 top pad rows, so each disjoint 64-row output
-    strip DMAs x rows [64a, 64a+72) — aligned — and reads its halo at the
-    static local offset 7. A emits the activation ROW-PAIR FOLDED —
-    (32, RA/2, 2w), lane banks [0:w]=even row, [w:2w]=odd row, the exact
-    layout kernel B's stride-2 taps want — plus per-strip channel sums
-    (a (32, 128)-padded second output) so the L2 attention GAP never
-    re-reads the activation from HBM.
+  * A: the frame arrives PARITY-SPLIT into even/odd row planes (8 top
+    pad rows each; one fused XLA relayout per plane, same total bytes as
+    the old single NCHW transpose). Each strip DMAs a 72-row window from
+    both planes, stages taps as contiguous row slices, and stores each
+    parity half straight into its lane bank of the ROW-PAIR-FOLDED
+    activation — (32, RA/2, 2w), lane banks [0:w]=even row, [w:2w]=odd
+    row, the exact layout kernel B's stride-2 taps want. (The fold as an
+    in-kernel value-reshape measured ~12 µs/program — a sublane→lane
+    relayout Mosaic does element-wise; splitting at the source makes it
+    free.) A also emits per-strip channel sums (a (32, 128)-padded
+    second output) so the L2 attention GAP never re-reads the activation
+    from HBM.
   * B: strip s emits TR2 output rows, consuming folded rows
     [TR2·s − 1, TR2·s + TR2). One DMA brings the TR2 fresh folded rows
     [TR2·s, TR2·(s+1)) straight into the window scratch (8-aligned,
@@ -46,69 +51,118 @@ def make_l1_kernel(w: int, h: int, w_pad: int, n_a: int):
     # The input DMA is double-buffered over the GLOBAL strip counter
     # (measured r3: the original start+wait-in-place serialization cost
     # ~1.4 ms of the kernel's 5.6 — the DMA latency was never hidden).
-    def kern(x_ref, k1_ref, xl1_ref, sums_ref, p1_ref, xs_ref, sem):
+    #
+    # PARITY-SPLIT input (measured r3, ablation in scripts/block_ablate
+    # + PERF.md): the row-pair fold as an in-kernel value-reshape costs
+    # ~12 µs/program (a sublane→lane relayout Mosaic does element-wise).
+    # Instead the caller hands the frame pre-split into even/odd row
+    # planes (one fused XLA relayout each, same total bytes as the old
+    # single NCHW transpose), the taps become contiguous row slices of
+    # the two windows, and each parity half is STORED straight into its
+    # lane bank of the folded layout — the fold never exists as an op.
+    #   out even row 2R taps real rows {2R−1 (odd, R−1), 2R (even, R),
+    #   2R+1 (odd, R)}; out odd row 2R+1 taps {2R (even, R), 2R+1
+    #   (odd, R), 2R+2 (even, R+1)}.
+    HALF = RA // 2
+
+    def kern(xe_ref, xo_ref, k1_ref, xl1_ref, sums_ref, p1e_ref, p1o_ref,
+             xse_ref, xso_ref, sem_e, sem_o):
         bi = pl.program_id(0)
         ai = pl.program_id(1)
         n_b = pl.num_programs(0)
 
-        def strip_copy(b_, a_, slot):
-            p0 = pl.multiple_of(a_ * RA, RA)
+        # even window: local l ↔ real even row 64a+l   (DMA start 64a+8
+        #   in the 8-top-padded even plane, 72 rows)
+        # odd window:  local l ↔ real odd row 64a+l−8  (DMA start 64a)
+        def copy_e(b_, a_, slot):
+            p0 = pl.multiple_of(a_ * HALF + 8, 8)
             return pltpu.make_async_copy(
-                x_ref.at[b_, :, pl.ds(p0, RA + 16), :], xs_ref.at[slot],
-                sem.at[slot])
+                xe_ref.at[b_, :, pl.ds(p0, HALF + 8), :], xse_ref.at[slot],
+                sem_e.at[slot])
+
+        def copy_o(b_, a_, slot):
+            p0 = pl.multiple_of(a_ * HALF, 8)
+            return pltpu.make_async_copy(
+                xo_ref.at[b_, :, pl.ds(p0, HALF + 8), :], xso_ref.at[slot],
+                sem_o.at[slot])
 
         g = bi * n_a + ai
         slot = jax.lax.rem(g, 2)
 
         @pl.when(g == 0)
         def _():
-            strip_copy(0, 0, 0).start()
+            copy_e(0, 0, 0).start()
+            copy_o(0, 0, 0).start()
 
-        strip_copy(bi, ai, slot).wait()
+        copy_e(bi, ai, slot).wait()
+        copy_o(bi, ai, slot).wait()
 
         @pl.when(ai + 1 < n_a)
         def _():
-            strip_copy(bi, ai + 1, 1 - slot).start()
+            copy_e(bi, ai + 1, 1 - slot).start()
+            copy_o(bi, ai + 1, 1 - slot).start()
 
         @pl.when((ai + 1 == n_a) & (bi + 1 < n_b))
         def _():
-            strip_copy(bi + 1, 0, 1 - slot).start()
+            copy_e(bi + 1, 0, 1 - slot).start()
+            copy_o(bi + 1, 0, 1 - slot).start()
 
-        xs = xs_ref[slot]                     # (3, RA+16, w_pad)
+        xe = xse_ref[slot]                    # (3, HALF+8, w_pad)
+        xo = xso_ref[slot]
 
-        t = 0
-        for ki in range(3):
-            for kj in range(3):
-                p1_ref[3 * t:3 * (t + 1)] = xs[:, 7 + ki:7 + ki + RA,
-                                               kj:kj + w]
-                t += 1
-        p1_ref[27:28] = jnp.ones((1, RA, w), jnp.bfloat16)
+        # taps, ki-major then kj (mix_and_fold order). Out-even row r:
+        # ki=0 → odd local r+7, ki=1 → even local r, ki=2 → odd local r+8.
+        # uint8 planes are cast to bf16 here, fused into the staging copy
+        # (0..255 is exact in bf16; /255 is folded into k1 by the caller)
+        # — the planes stay one byte per pixel in HBM and over the DMA.
+        def stage(par, p1_ref):
+            t = 0
+            for ki in range(3):
+                if par == 0:
+                    src, off = ((xo, 7), (xe, 0), (xo, 8))[ki]
+                else:
+                    src, off = ((xe, 0), (xo, 8), (xe, 1))[ki]
+                for kj in range(3):
+                    tap = src[:, off:off + HALF, kj:kj + w]
+                    if tap.dtype == jnp.uint8:
+                        # Mosaic has no direct u8→bf16; route through
+                        # i32→f32 (exact for 0..255)
+                        tap = tap.astype(jnp.int32).astype(jnp.float32)
+                    p1_ref[3 * t:3 * (t + 1)] = tap.astype(jnp.bfloat16)
+                    t += 1
+            p1_ref[27:28] = jnp.ones((1, HALF, w), jnp.bfloat16)
 
         # f32 accumulator + epilogue: Mosaic requires a 32-bit matmul acc,
         # and its bf16 `logistic` lowering is broken (vector.broadcast
         # element-type verification failure)
-        acc1 = jax.lax.dot_general(
-            k1_ref[0], p1_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (32, RA, w)
-        xl1 = acc1 * jax.nn.sigmoid(acc1)
+        def half_out(par, p1_ref):
+            stage(par, p1_ref)
+            acc1 = jax.lax.dot_general(
+                k1_ref[0], p1_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (32, HALF, w)
+            xl1 = acc1 * jax.nn.sigmoid(acc1)
+            if (h - par + 1) // 2 % HALF != 0:
+                # zero rows beyond the image (planes are over-allocated).
+                # The conv of the zero-padded rows yields silu(bias) ≠ 0,
+                # so this mask is required — but only when strips overhang
+                # the image. Parity row R is in-image iff 2R+par < h.
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (HALF, w), 0) + ai * HALF
+                mask = jnp.where(2 * row + par < h, 1.0, 0.0)
+                xl1 = xl1 * mask[None]
+            return xl1.astype(jnp.bfloat16)
 
-        if h % RA != 0:
-            # zero rows beyond the image (array is over-allocated). The
-            # conv of the zero-padded rows yields silu(bias) ≠ 0, so this
-            # mask is required — but only when strips overhang the image.
-            row = jax.lax.broadcasted_iota(jnp.int32, (RA, w), 0) + ai * RA
-            mask = jnp.where(row < h, 1.0, 0.0)
-            xl1 = xl1 * mask[None]
-        xbf = xl1.astype(jnp.bfloat16)
-        # row-pair fold: (32, RA, w) → (32, RA/2, 2w) so kernel B's
-        # stride-2 taps read even/odd rows as lane banks with NO staging
-        xl1_ref[0] = xbf.reshape(32, RA // 2, 2 * w)
+        even = half_out(0, p1e_ref)
+        xl1_ref[0, :, :, 0:w] = even
+        odd = half_out(1, p1o_ref)
+        xl1_ref[0, :, :, w:2 * w] = odd
         # per-strip channel sums of the STORED bf16 values (so the L2
         # attention GAP sees exactly what kernel B reads) — saves the
         # XLA GAP's full re-read of the activation from HBM. Lanes 1..127
         # of the (32, 128) output block are zero padding.
-        srow = jnp.sum(xbf.astype(jnp.float32), axis=2)        # (32, RA)
+        srow = (jnp.sum(even.astype(jnp.float32), axis=2)
+                + jnp.sum(odd.astype(jnp.float32), axis=2))    # (32, HALF)
         stot = jnp.sum(srow, axis=1, keepdims=True)            # (32, 1)
         sums_ref[0, 0] = jnp.pad(stot, ((0, 0), (0, 127)))
     return kern
@@ -175,26 +229,32 @@ def make_l2_kernel(w: int, tr2: int, half_out: int = None):
         #   ki=2 → folded row tr2·si + ρ,     odd bank  → window 8+ρ
         # No in-kernel image mask: rows past the image are zero in the
         # activation itself (kernel A masks them).
+        #
+        # ONE roll per dx over the whole window (measured r3: the
+        # per-tap f32 cast+roll chains were 3x the roll area; taps are
+        # now plain bf16 slice copies). The roll wraps across the
+        # even/odd lane banks, so the edge masks zero BOTH banks' wrap
+        # lanes ({0, w} for the left tap, {w-1, 2w-1} for the right) —
+        # identical staged values to the old per-bank not_first/not_last.
         folded = wf_ref[slot]                      # (32, tr2+8, 2w)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tr2, w), 1)
-        not_first = jnp.where(lane >= 1, 1.0, 0.0).astype(jnp.bfloat16)
-        not_last = jnp.where(lane < w - 1, 1.0, 0.0).astype(jnp.bfloat16)
+        win = folded[:, 7:8 + tr2, :]              # (32, tr2+1, 2w)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (tr2 + 1, 2 * w), 1)
+        mL = jnp.where((lane2 != 0) & (lane2 != w),
+                       1.0, 0.0).astype(jnp.bfloat16)
+        mR = jnp.where((lane2 != w - 1) & (lane2 != 2 * w - 1),
+                       1.0, 0.0).astype(jnp.bfloat16)
+        win32 = win.astype(jnp.float32)
+        winL = (pltpu.roll(win32, 1, 2).astype(jnp.bfloat16) * mL[None])
+        winR = (pltpu.roll(win32, 2 * w - 1, 2).astype(jnp.bfloat16)
+                * mR[None])
 
         t = 0
         for ki in range(3):
-            if ki == 0:
-                rows = folded[:, 7:7 + tr2, w:2 * w]
-            elif ki == 1:
-                rows = folded[:, 8:8 + tr2, 0:w]
-            else:
-                rows = folded[:, 8:8 + tr2, w:2 * w]
-            rows32 = rows.astype(jnp.float32)
-            left = (pltpu.roll(rows32, 1, 2).astype(jnp.bfloat16)
-                    * not_first[None])
-            right = (pltpu.roll(rows32, w - 1, 2).astype(jnp.bfloat16)
-                     * not_last[None])
-            for tap in (left, rows, right):
-                p2_ref[32 * t:32 * (t + 1)] = tap
+            r0 = 0 if ki == 0 else 1
+            b0 = 0 if ki == 1 else w
+            for src in (winL, win, winR):
+                p2_ref[32 * t:32 * (t + 1)] = src[:, r0:r0 + tr2,
+                                                  b0:b0 + w]
                 t += 1
         p2_ref[288:289] = jnp.ones((1, tr2, w), jnp.bfloat16)
 
@@ -228,20 +288,33 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
     w_pad = -(-(w + 2) // 128) * 128
     n_a = -(-h // RA)
     hp = n_a * RA + 24
-    # rows: 8 top pad; bottom sized so the last strip's 80-row window fits.
-    bottom = (n_a - 1) * RA + (RA + 16) - 8 - h
+    half = RA // 2
     # Transpose BEFORE the dtype cast: for uint8 frames the NHWC→NCHW
     # relayout moves half the bytes (measured 0.5 ms vs 2.1 ms at
     # bs=16@640) — the /255 normalization is folded into k1_aug by the
     # caller, so uint8 values flow into the matmul directly.
-    xt = jnp.pad(x.transpose(0, 3, 1, 2).astype(jnp.bfloat16),
-                 ((0, 0), (0, 0), (8, max(bottom, 1)),
+    #
+    # PARITY-SPLIT planes (see make_l1_kernel): even/odd real rows as two
+    # arrays, 8 top pad rows each, bottoms sized for the last strip's
+    # 72-row aligned window ([64a+8, 64a+80) even / [64a, 64a+72) odd).
+    # uint8 frames stay uint8 (the XLA split writes 1 byte/px instead of
+    # 2, and kernel A's input DMA halves); the in-kernel tap staging does
+    # the exact bf16 cast.
+    plane_dt = jnp.uint8 if x.dtype == jnp.uint8 else jnp.bfloat16
+    xt = x.transpose(0, 3, 1, 2)
+    rows_e, rows_o = (h + 1) // 2, h // 2
+    xe = jnp.pad(xt[:, :, 0::2, :].astype(plane_dt),
+                 ((0, 0), (0, 0), (8, half * n_a + 8 - rows_e),
+                  (1, w_pad - w - 1)))
+    xo = jnp.pad(xt[:, :, 1::2, :].astype(plane_dt),
+                 ((0, 0), (0, 0), (8, half * n_a - rows_o),
                   (1, w_pad - w - 1)))
 
     xl1, strip_sums = pl.pallas_call(
         make_l1_kernel(w, h, w_pad, n_a),
         grid=(b, n_a),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 32, 28), lambda bi, ai: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -258,25 +331,26 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
             jax.ShapeDtypeStruct((b, n_a, 32, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((28, RA, w), jnp.bfloat16),
-            pltpu.VMEM((2, 3, RA + 16, w_pad), jnp.bfloat16),  # dbl-buf
+            pltpu.VMEM((28, half, w), jnp.bfloat16),   # p1 even
+            pltpu.VMEM((28, half, w), jnp.bfloat16),   # p1 odd
+            pltpu.VMEM((2, 3, half + 8, w_pad), plane_dt),  # dbl-buf e
+            pltpu.VMEM((2, 3, half + 8, w_pad), plane_dt),  # dbl-buf o
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(xt, k1_aug.astype(jnp.bfloat16))
+    )(xe, xo, k1_aug.astype(jnp.bfloat16))
     # GAP = Σ strips of the in-kernel per-strip channel sums (a few KB)
     # instead of an XLA reduce that re-reads the whole activation
     sums = jnp.sum(strip_sums[:, :, :, 0], axis=1)
     return xl1, sums
 
 
-@partial(jax.jit, static_argnames=("h", "over_rows", "raw_cm", "interpret",
-                                   "fold"))
+@partial(jax.jit, static_argnames=("h", "over_rows", "raw_cm", "interpret"))
 def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
-              raw_cm: bool = False, interpret: bool = False,
-              fold: int = 1):
+              raw_cm: bool = False, interpret: bool = False):
     """xl1 (B,32,Hp/2,2W) folded bf16 from pallas_l1 → (B,H/2,W/2,64) NHWC.
 
     ``h`` is the TRUE image height; pallas_l1 over-allocates
@@ -287,14 +361,10 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
     bandwidth-bound).
 
     ``over_rows``: extra unwritten rows past H/2 in the output allocation
-    (a downstream strip kernel's aligned read window, e.g.
-    ``pallas_block.pallas_block_down`` wants 8). ``raw_cm``: return the
-    raw (B, 64, H/2 + over_rows, ceil(W/2 /128)·128) channel-major array
-    — lanes past W/2 are zero — instead of the sliced NHWC transpose.
-
-    ``fold``: emit the image-FOLDED NHWC layout (B/fold, H/2, W/2,
-    fold·64) for ``ops.imgfold`` instead of plain NHWC — the same single
-    relayout the NHWC transpose costs anyway, so the fold is free."""
+    (a downstream strip kernel's aligned read window). ``raw_cm``: return
+    the raw (B, 64, H/2 + over_rows, ceil(W/2 /128)·128) channel-major
+    array — lanes past W/2 are zero — instead of the sliced NHWC
+    transpose (kernel-only timing and strip-kernel consumers)."""
     b, _, hp2, w2 = xl1.shape
     w = w2 // 2
     if h is None:
@@ -303,6 +373,10 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
         raise ValueError(f"pallas_l2 needs H divisible by 16, got {h}")
     tr2 = next(t for t in (32, 16, 8) if (h // 2) % t == 0)
     n_s = (h // 2) // tr2
+    # NOT padded to 128 lanes in NHWC mode: padding the store was
+    # measured r3 — the aligned store saves ~1.3 µs/program in-kernel but
+    # inflates the store bytes and the downstream NHWC transpose read by
+    # 20%, a net loss end-to-end
     half_out = -(-(w // 2) // 128) * 128 if raw_cm else w // 2
 
     out = pl.pallas_call(
@@ -331,30 +405,12 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
     )(xl1, k2_aug.astype(jnp.bfloat16))
     if raw_cm:
         return out
-    if fold > 1:
-        h2, w2 = h // 2, w // 2
-        return out[:, :, :h2].reshape(
-            b // fold, fold, 64, h2, w2).transpose(
-            0, 3, 4, 1, 2).reshape(b // fold, h2, w2, fold * 64)
     return out[:, :, :h // 2].transpose(0, 2, 3, 1)
 
 
 def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
-                       attn_temp: float, interpret: bool = False,
-                       block_aug=None, imgfold=None):
+                       attn_temp: float, interpret: bool = False):
     """Full two-pass fused stem from DyYOLO parameter trees.
-
-    ``block_aug``: optional (w1_aug, k2_aug, k3_aug) folded matrices from
-    ``pallas_block.fold_cnnblock`` — when given, the post-stem
-    ResidualBlock + 3x3-s2 downsample also run fused
-    (``pallas_block_down``) and the result is (B, H/4, W/4, 128) NHWC.
-
-    ``imgfold``: optional (rb_params, rb_stats, down_params, down_stats)
-    trees — the same post-stem ResidualBlock + downsample run on the
-    image-FOLDED layout instead (``ops.imgfold``: 4 images stacked on
-    lanes, block-diagonal kernels, zero lane padding; exact numerics) and
-    the result is (B, H/4, W/4, 128) NHWC. Mutually exclusive with
-    ``block_aug``.
 
     x: (B, H, W, 3) — either preprocessed frames in [0, 1] (any float
     dtype) or RAW uint8 frames: for uint8 the /255 normalization is
@@ -406,24 +462,7 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                       bn1p["bias"], bn1s["mean"], bn1s["var"],
                       out_channels=64)
 
-    if imgfold is not None:
-        from .imgfold import folded_block_down, unfold_images
-        rb_p, rb_s, dn_p, dn_s = imgfold
-        fold = 4 if b % 4 == 0 else 1
-        xf = pallas_l2(xl1, k2, h=h, interpret=interpret, fold=fold)
-        yf = folded_block_down(xf, rb_p, rb_s, dn_p, dn_s, fold,
-                               dtype=jnp.bfloat16)
-        return unfold_images(yf, fold)
-
-    if block_aug is None:
-        return pallas_l2(xl1, k2, h=h, interpret=interpret)
-
-    from .pallas_block import pallas_block_down
-    xl2 = pallas_l2(xl1, k2, h=h, over_rows=8, raw_cm=True,
-                    interpret=interpret)
-    out = pallas_block_down(xl2, *block_aug, h2=h // 2, w=w // 2,
-                            interpret=interpret)
-    return out.transpose(0, 2, 3, 1)
+    return pallas_l2(xl1, k2, h=h, interpret=interpret)
 
 
 def detector_stem_fast_path(model, variables, layer_config, attn_temp,
@@ -437,16 +476,16 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
     if the config doesn't start with the DyConv(32,3,1), DyConv(64,3,2)
     stem this kernel implements.
 
-    When the next two tokens are ["B", 1], [128, 3, 2] (the DyYOLO
-    default), they are consumed too: the post-stem ResidualBlock +
-    downsample run in ``pallas_block.pallas_block_down`` with BN/bias
-    folded at build time, and the tail starts at H/4 — the stem's two
-    layers plus these two were the farthest-from-roofline layers of the
-    whole pipeline (PERF.md).
-
     The tail model is the same interpreter over the remaining tokens; its
     auto-assigned module names shift by exactly the consumed module
     counts per flax type, so the variables tree is re-keyed accordingly.
+
+    (Two further fast paths that also consumed the post-stem ResidualBlock
+    + 3x3-s2 downsample — a fused strip kernel and an image-folded XLA
+    variant — were built, tested bit-exact, measured SLOWER, and removed
+    in round 3; the slope study in scripts/chain_slope.py showed the
+    layer-level "waste" they chased was mostly measurement boundary
+    artifact. Full post-mortem in PERF.md.)
     """
     cfg = [list(t) for t in layer_config]
     if len(cfg) < 2 or cfg[0] != ["DyConv", 32, 3, 1] \
@@ -458,41 +497,13 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
     p = variables["params"]["net"]
     s = variables["batch_stats"]["net"]
 
-    import os
-
-    # The post-stem ResidualBlock + 3x3-s2 downsample tokens can be
-    # consumed by one of two OPTIONAL fast paths — both fully tested,
-    # both measured SLOWER than plain XLA end-to-end, kept as documented
-    # negative results (PERF.md):
-    #  * imgfold (UAVDET_IMGFOLD=1; pure XLA): 4 images stacked on lanes
-    #    with block-diagonal kernels (ops/imgfold.py). Exact numerics and
-    #    the fold relayout is free (replaces the NHWC transpose), but the
-    #    block-diagonal 3x3 kernels carry 4× the real MXU FLOPs, which
-    #    outweighs the lane-padding traffic it saves (bench r3: 449.6 vs
-    #    480.5 fps).
-    #  * pallas_block kernel (UAVDET_PALLAS_BLOCK=1; needs H % 32 == 0):
-    #    bit-exact, but strip-kernel per-program overhead eats the fusion
-    #    win (12.5 vs 9.2 ms standalone at bs=16 @640).
-    tokens_match = (len(cfg) >= 4 and cfg[2] == ["B", 1]
-                    and cfg[3] == [128, 3, 2])
-    with_block = (tokens_match
-                  and input_size is not None and input_size % 32 == 0
-                  and os.environ.get("UAVDET_PALLAS_BLOCK", "0") == "1")
-    with_imgfold = (tokens_match and not with_block
-                    and os.environ.get("UAVDET_IMGFOLD", "0") == "1")
-    shifts = {"DyConvModule_": 2}
-    if with_block or with_imgfold:
-        shifts.update({"ResidualBlock_": 1, "CNNBlock_": 1})
-
     def rekey(tree):
         out = {}
         for k, v in tree.items():
-            for prefix, shift in shifts.items():
-                if k.startswith(prefix):
-                    i = int(k.split("_")[-1])
-                    if i >= shift:
-                        out[f"{prefix}{i - shift}"] = v
-                    break
+            if k.startswith("DyConvModule_"):
+                i = int(k.split("_")[-1])
+                if i >= 2:
+                    out[f"DyConvModule_{i - 2}"] = v
             else:
                 out[k] = v
         return out
@@ -501,32 +512,15 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
         "params": {"net": rekey(p)},
         "batch_stats": {"net": rekey(s)},
     }
-    n_skip = 4 if (with_block or with_imgfold) else 2
-    tail_model = DyYOLO(layer_config=tuple(tuple(t) for t in cfg[n_skip:]),
+    tail_model = DyYOLO(layer_config=tuple(tuple(t) for t in cfg[2:]),
                         attn_temperature=attn_temp,
                         n_anchors=model.n_anchors, dtype=model.dtype)
 
     dy0p, dy0s = p["DyConvModule_0"], s["DyConvModule_0"]
     dy1p, dy1s = p["DyConvModule_1"], s["DyConvModule_1"]
 
-    block_aug = None
-    if with_block:
-        from .pallas_block import fold_cnnblock
-        rb_p, rb_s = p["ResidualBlock_0"], s["ResidualBlock_0"]
-        block_aug = (
-            fold_cnnblock(rb_p["CNNBlock_0"], rb_s["CNNBlock_0"]),
-            fold_cnnblock(rb_p["CNNBlock_1"], rb_s["CNNBlock_1"]),
-            fold_cnnblock(p["CNNBlock_0"], s["CNNBlock_0"]),
-        )
-
-    imgfold = None
-    if with_imgfold:
-        imgfold = (p["ResidualBlock_0"], s["ResidualBlock_0"],
-                   p["CNNBlock_0"], s["CNNBlock_0"])
-
     def stem_fn(x):
         return fused_stem_forward(x, dy0p, dy0s, dy1p, dy1s, attn_temp,
-                                  interpret=interpret,
-                                  block_aug=block_aug, imgfold=imgfold)
+                                  interpret=interpret)
 
     return stem_fn, tail_model, tail_variables
