@@ -111,25 +111,26 @@ def make_kernel(w, tr2, half_out, stage):
             # main dot at N=w/2, NO selection matmul. Keeps both rolls
             # (the real redesign needs one, on half the lanes —
             # conservative).
+            # Lane-pad the staged width to a 128 multiple (matches the
+            # real design's 384-padded banks); dot runs at N=hwp.
             hw = w // 2
+            hwp = -(-hw // 128) * 128          # 384 for w=640
             t = 0
             for ki in range(3):
                 r0 = 0 if ki == 0 else 1
                 b0 = 0 if ki == 1 else w
                 for src in (winL, win, winR):
-                    p2_ref[32 * t:32 * (t + 1), :, :hw] = \
-                        src[:, r0:r0 + tr2, b0:b0 + hw]
+                    p2_ref[32 * t:32 * (t + 1), :, :hwp] = \
+                        src[:, r0:r0 + tr2, b0:b0 + hwp]
                     t += 1
-            p2_ref[288:289, :, :hw] = jnp.ones((1, tr2, hw), jnp.bfloat16)
+            p2_ref[288:289, :, :hwp] = jnp.ones((1, tr2, hwp),
+                                                jnp.bfloat16)
             acc2 = jax.lax.dot_general(
-                k2_ref[0], p2_ref[:, :, :hw],
+                k2_ref[0], p2_ref[:, :, :hwp],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (64, tr2, hw)
-            out_ref[0, :, :, :hw] = (
-                acc2 * jax.nn.sigmoid(acc2)).astype(jnp.bfloat16)
-            if half_out > hw:
-                out_ref[0, :, :, hw:] = jnp.zeros(
-                    (64, tr2, half_out - hw), jnp.bfloat16)
+                preferred_element_type=jnp.float32)      # (64, tr2, hwp)
+            acc2 = acc2[:, :, :half_out]
+            out_ref[0] = (acc2 * jax.nn.sigmoid(acc2)).astype(jnp.bfloat16)
             return
 
         t = 0
@@ -214,6 +215,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--input", type=int, default=640)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--stages", type=str, default="",
+                    help="comma list, e.g. '4,5,half' (default: all)")
     args = ap.parse_args()
 
     from uavdet_tpu.utils.cache import enable_compilation_cache
@@ -235,7 +238,11 @@ def main():
              4: "+main dot (N=w)", 5: "+selection matmul",
              6: "FULL (SiLU epilogue)",
              "half": "QUAD-PARITY MOCK (half staging, N=w/2, no sel)"}
-    for stage in [0, 1, 2, 3, 4, 5, 6, "half"]:
+    stages = [0, 1, 2, 3, 4, 5, 6, "half"]
+    if args.stages:
+        picked = [s.strip() for s in args.stages.split(",")]
+        stages = [s for s in stages if str(s) in picked]
+    for stage in stages:
         fn = run_variant(xl1, k2, S, stage if stage != 6 else 7)
         dt = _timer(lambda: fn(xl1, k2), sync, iters=args.iters)
         print(f"stage {stage!s:>4} {names[stage]:<46s} "

@@ -54,33 +54,33 @@ def main():
         dt = _timer(run, sync, iters=args.iters)
         print(f"{name:<44s} {dt * 1e3:8.3f} ms", flush=True)
 
-    # the XLA-side parity-split construction alone (what pallas_l1's
-    # caller half costs)
-    w_pad = -(-(S + 2) // 128) * 128
+    # the XLA-side quad-parity-split construction alone (what pallas_l1's
+    # caller half costs; planes stay uint8 like the real caller's)
+    wq = S // 2
+    wq_pad = -(-(wq + 2) // 128) * 128
     n_a = -(-S // 128)
 
     @jax.jit
     def split_only(xx):
-        xt = xx.transpose(0, 3, 1, 2)
-        xe = jnp.pad(xt[:, :, 0::2, :].astype(jnp.bfloat16),
-                     ((0, 0), (0, 0), (8, 64 * n_a + 8 - (S + 1) // 2),
-                      (1, w_pad - S - 1)))
-        xo = jnp.pad(xt[:, :, 1::2, :].astype(jnp.bfloat16),
-                     ((0, 0), (0, 0), (8, 64 * n_a - S // 2),
-                      (1, w_pad - S - 1)))
-        return xe, xo
+        x5 = xx.reshape(B, S, wq, 2, 3).transpose(0, 3, 4, 1, 2)
+        pads = {0: (8, 64 * n_a + 8 - (S + 1) // 2),
+                1: (8, 64 * n_a - S // 2)}
+        return tuple(
+            jnp.pad(x5[:, g_, :, p_::2, :],
+                    ((0, 0), (0, 0), pads[p_], (1, wq_pad - wq - 1)))
+            for p_ in (0, 1) for g_ in (0, 1))
 
-    t("parity-split construction (XLA)", lambda: split_only(x),
+    t("quad-split construction (XLA)", lambda: split_only(x),
       lambda o: float(o[0][0, 0, 8, 1].astype(jnp.float32)))
 
     t("pallas_l1 (kernel A, incl. split)", lambda: pallas_l1(x, k1),
       lambda o: float(o[1][0, 0]))
 
     xl1, _ = jax.block_until_ready(pallas_l1(x, k1))
-    t("pallas_l2 (kernel B)", lambda: pallas_l2(xl1, k2, h=S),
+    t("pallas_l2 (kernel B)", lambda: pallas_l2(xl1, k2, h=S, wq=S // 2),
       lambda o: float(o[0, 0, 0, 0].astype(jnp.float32)))
     t("pallas_l2 (kernel B, raw_cm)",
-      lambda: pallas_l2(xl1, k2, h=S, over_rows=8, raw_cm=True),
+      lambda: pallas_l2(xl1, k2, h=S, wq=S // 2, over_rows=8, raw_cm=True),
       lambda o: float(o[0, 0, 0, 0].astype(jnp.float32)))
     return 0
 

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Measure the threshold+compaction top-k pre-pass idea (PERF.md "Next
+levers" #2 / VERDICT r2 item 2).
+
+The proposal: most of the 25200 objectness logits at 640px are far below
+any plausible detection; threshold them, compact the survivors to a
+small static capacity C, and run the k=512 sort over C instead of n.
+
+What this probe measures on the real chip (B=16, n=25200, k=512):
+  1. the baseline global sort  — lax.top_k(n)
+  2. the post-compaction sort  — lax.top_k(C): the FLOOR any compaction
+     scheme can reach, since the small sort still pays lax.top_k's
+     ~0.6 ms n-independent fixed cost
+  3. an XLA compaction (cumsum positions + batched scatter): what the
+     pre-pass itself costs without a custom kernel
+  4. compaction via one-hot matmul (pos one-hot @ values — the
+     MXU-friendly scatter substitute): (B, n) @ (n→C) is n·C MACs
+
+If (2) is not far below (1), or (3)/(4) cost more than (1)−(2), the
+pre-pass cannot win and the lever is closed by measurement.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _timer(run, sync, iters=30, warmup=3):
+    sync(run())
+    for _ in range(warmup):
+        sync(run())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = run()
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--n", type=int, default=25200)
+    ap.add_argument("--k", type=int, default=512)
+    ap.add_argument("--cap", type=int, default=2048)
+    args = ap.parse_args()
+
+    from uavdet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    B, n, k, C = args.batch, args.n, args.k, args.cap
+    rng = np.random.default_rng(0)
+    # realistic objectness logits: almost everything deeply negative,
+    # a few hundred plausible candidates per image
+    logits = rng.normal(-8.0, 1.5, size=(B, n)).astype(np.float32)
+    hot = rng.integers(0, n, size=(B, 600))
+    for b in range(B):
+        logits[b, hot[b]] = rng.normal(1.0, 2.0, size=600)
+    x = jnp.asarray(logits, jnp.bfloat16)
+    tau = jnp.bfloat16(-4.0)
+
+    def sync(v):
+        jax.tree_util.tree_leaves(v)[0][..., :1].block_until_ready()
+        _ = np.asarray(jax.tree_util.tree_leaves(v)[0][..., :1])
+
+    @jax.jit
+    def base(x):
+        return jax.lax.top_k(x, k)
+
+    @jax.jit
+    def small(y):
+        return jax.lax.top_k(y, k)
+
+    y_small = x[:, :C]
+
+    @jax.jit
+    def compact_scatter(x):
+        mask = x > tau
+        pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+        pos = jnp.where(mask & (pos < C), pos, C)  # overflow → dropped
+        out = jnp.full((B, C + 1), -jnp.inf, jnp.bfloat16)
+        idx = jnp.full((B, C + 1), n, jnp.int32)
+        bi = jnp.arange(B)[:, None]
+        src = jnp.arange(n)[None, :].astype(jnp.int32)
+        out = out.at[bi, pos].set(x, mode="drop")
+        idx = idx.at[bi, pos].set(src, mode="drop")
+        return out[:, :C], idx[:, :C], jnp.sum(mask, axis=1)
+
+    @jax.jit
+    def compact_then_sort(x):
+        vals, idx, cnt = compact_scatter(x)
+        tv, ti = jax.lax.top_k(vals, k)
+        return tv, jnp.take_along_axis(idx, ti, axis=1), cnt
+
+    print(f"B={B} n={n} k={k} C={C}")
+    t = _timer(lambda: base(x), sync)
+    print(f"baseline lax.top_k(n={n})              {t*1e3:8.3f} ms")
+    t = _timer(lambda: small(y_small), sync)
+    print(f"floor    lax.top_k(C={C})               {t*1e3:8.3f} ms")
+    t = _timer(lambda: compact_scatter(x), sync)
+    print(f"XLA scatter compaction alone            {t*1e3:8.3f} ms")
+    t = _timer(lambda: compact_then_sort(x), sync)
+    print(f"compaction + top_k(C)                   {t*1e3:8.3f} ms")
+
+    # correctness spot-check of the compaction path (counts < C here)
+    tv, ti, cnt = jax.device_get(compact_then_sort(x))
+    bv, bi_ = jax.device_get(base(x))
+    ok = True
+    for b in range(B):
+        nb = min(k, int(cnt[b]))
+        ref = np.asarray(bv[b, :nb], np.float32)
+        got = np.asarray(tv[b, :nb], np.float32)
+        if not np.array_equal(ref, got):
+            ok = False
+    print("value agreement (above-threshold prefix):", ok)
+
+
+if __name__ == "__main__":
+    main()

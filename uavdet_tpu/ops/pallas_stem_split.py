@@ -7,30 +7,42 @@ before all of L1 is computed. Kernel A produces the L1 activation
 computes attn₂ → the folded L2 matrix; kernel B consumes the activation.
 
 Alignment choreography (Mosaic DMA needs 8-aligned sublane starts):
-  * A: the frame arrives PARITY-SPLIT into even/odd row planes (8 top
-    pad rows each; one fused XLA relayout per plane, same total bytes as
-    the old single NCHW transpose). Each strip DMAs a 72-row window from
-    both planes, stages taps as contiguous row slices, and stores each
-    parity half straight into its lane bank of the ROW-PAIR-FOLDED
-    activation — (32, RA/2, 2w), lane banks [0:w]=even row, [w:2w]=odd
-    row, the exact layout kernel B's stride-2 taps want. (The fold as an
-    in-kernel value-reshape measured ~12 µs/program — a sublane→lane
-    relayout Mosaic does element-wise; splitting at the source makes it
-    free.) A also emits per-strip channel sums (a (32, 128)-padded
-    second output) so the L2 attention GAP never re-reads the activation
-    from HBM.
+  * A: the frame arrives QUAD-PARITY-SPLIT into (row parity × column
+    parity) planes (8 top pad rows + 1 left pad column each; one fused
+    XLA relayout per plane, same total bytes as the old single NCHW
+    transpose). Each strip DMAs a 72-row window from all four planes,
+    stages every tap of every output quadrant as a CONTIGUOUS slice (the
+    1-left-pad makes the three column taps plain offsets {0,1,2} — no
+    rolls anywhere in A), runs four (32,28)@(28,64,WB) dots, and stores
+    each output quadrant into its own bank ARRAY of the QUAD-FOLDED
+    activation — four (B, 32, Hp/2, WB) arrays, bank q = 2·row_par +
+    col_par, WB = ceil(w/2 / 128)·128. WB (not w/2) everywhere because
+    Mosaic requires 128-multiples both of the dot's rhs lane count (its
+    lowering reshapes the rank-3 rhs to (K, rows·lanes)) and of DMA
+    slice extents (kernel B could not read a w/2-wide HBM array). Bank
+    lanes [w/2, WB) are uninitialized garbage: every path that could
+    read them ends in a value that is sliced off or where-masked before
+    any store — never a mask MULTIPLY, since garbage may be NaN. A also
+    emits per-strip channel sums (a (32, 128)-padded second output,
+    real lanes only) so the L2 attention GAP never re-reads the
+    activation from HBM.
   * B: strip s emits TR2 output rows, consuming folded rows
-    [TR2·s − 1, TR2·s + TR2). One DMA brings the TR2 fresh folded rows
-    [TR2·s, TR2·(s+1)) straight into the window scratch (8-aligned,
-    double-buffered across the GLOBAL strip sequence so the prefetch
-    chain survives image boundaries); the 8-row top halo region is
-    copied from the previous strip's slot (zeros for s=0 — the conv's
-    top padding). Every activation byte crosses HBM exactly once, there
-    is no staging reshape in B at all (A pre-folded), and rows past the
-    image are zero in the activation itself (A masks them).
-  On TPU hardware the folded layout needs w % 128 == 0 (tap banks sit at
-  lane offset w; Mosaic wants 128-aligned lane slices); interpret mode
-  has no such constraint.
+    [TR2·s − 1, TR2·s + TR2). Four DMAs (one per bank) bring the TR2
+    fresh folded rows [TR2·s, TR2·(s+1)) straight into the window
+    scratch (8-aligned, double-buffered across the GLOBAL strip sequence
+    so the prefetch chain survives image boundaries); the 8-row top halo
+    region is copied from the previous strip's slot (zeros for s=0 — the
+    conv's top padding). Stride-2 output column c taps input columns
+    {2c−1, 2c, 2c+1} = {odd bank rolled right by 1, even bank, odd
+    bank}: ONE quarter-area roll replaces round 2's two full-width
+    rolls (the roll's lane-0 wrap — the conv's left padding — is
+    where-masked to zero), the 9 taps are full-width bank slices, the
+    main dot runs at N = WB (vs round 2's w = 2·w/2), and the
+    even-column selection matmul (measured 2.0 ms of the old 8.7 ms
+    kernel, scripts/l2_ablate.py) is gone — the output IS the even
+    columns. Every activation byte still crosses HBM exactly once, and
+    rows past the image are zero in the activation itself (A masks
+    them).
 
 Kernel matrices come from ``pallas_stem.mix_and_fold`` (expert mixing +
 BN + bias folded; bias as a ones-row contraction element).
@@ -47,245 +59,294 @@ RA = 128         # L1 rows per kernel-A strip (the kernels are
                  # per-program-overhead-bound — bigger strips win)
 
 
-def make_l1_kernel(w: int, h: int, w_pad: int, n_a: int):
+def make_l1_kernel(wq: int, h: int, n_a: int):
     # The input DMA is double-buffered over the GLOBAL strip counter
     # (measured r3: the original start+wait-in-place serialization cost
     # ~1.4 ms of the kernel's 5.6 — the DMA latency was never hidden).
     #
-    # PARITY-SPLIT input (measured r3, ablation in scripts/block_ablate
-    # + PERF.md): the row-pair fold as an in-kernel value-reshape costs
-    # ~12 µs/program (a sublane→lane relayout Mosaic does element-wise).
-    # Instead the caller hands the frame pre-split into even/odd row
+    # QUAD-PARITY-SPLIT input (r3; see module docstring): the caller
+    # hands the frame pre-split into four (row parity × column parity)
     # planes (one fused XLA relayout each, same total bytes as the old
-    # single NCHW transpose), the taps become contiguous row slices of
-    # the two windows, and each parity half is STORED straight into its
-    # lane bank of the folded layout — the fold never exists as an op.
-    #   out even row 2R taps real rows {2R−1 (odd, R−1), 2R (even, R),
-    #   2R+1 (odd, R)}; out odd row 2R+1 taps {2R (even, R), 2R+1
-    #   (odd, R), 2R+2 (even, R+1)}.
+    # single NCHW transpose). With 8 top pad rows and 1 left pad column
+    # per plane, EVERY tap of every output quadrant is a contiguous
+    # (row, col)-offset slice of one of the four windows — no rolls, no
+    # in-kernel fold, and each quadrant is stored straight into its bank
+    # of the quad-folded layout.
+    #   Row taps (as before, per output-row parity ρ): out even row 2R
+    #   taps real rows {2R−1 (odd, R−1), 2R (even, R), 2R+1 (odd, R)};
+    #   out odd row 2R+1 taps {2R (even, R), 2R+1 (odd, R), 2R+2
+    #   (even, R+1)}.
+    #   Column taps (per output-col parity γ, plane lane l = col l−1):
+    #   out even col 2C taps cols {2C−1, 2C, 2C+1} = odd[C−1], even[C],
+    #   odd[C] → (plane, lane offset) {(odd,0), (even,1), (odd,1)};
+    #   out odd col 2C+1 → {(even,1), (odd,1), (even,2)}.
     HALF = RA // 2
+    WB = -(-wq // 128) * 128          # staged/dot lane width
+    # (row_plane_is_odd, window row offset) per ki, indexed by row parity
+    ROW_TAB = (((1, 7), (0, 0), (1, 8)), ((0, 0), (1, 8), (0, 1)))
+    # (col_plane_is_odd, lane offset) per kj, indexed by col parity
+    COL_TAB = (((1, 0), (0, 1), (1, 1)), ((0, 1), (1, 1), (0, 2)))
 
-    def kern(xe_ref, xo_ref, k1_ref, xl1_ref, sums_ref, p1e_ref, p1o_ref,
-             xse_ref, xso_ref, sem_e, sem_o):
+    def kern(xee_ref, xeo_ref, xoe_ref, xoo_ref, k1_ref,
+             oee_ref, oeo_ref, ooe_ref, ooo_ref, sums_ref,
+             p1a_ref, p1b_ref, p1c_ref, p1d_ref,
+             wee_ref, weo_ref, woe_ref, woo_ref,
+             sem_ee, sem_eo, sem_oe, sem_oo):
         bi = pl.program_id(0)
         ai = pl.program_id(1)
         n_b = pl.num_programs(0)
+        wp = xee_ref.shape[-1]        # plane lane width (≥ wq + 2)
 
-        # even window: local l ↔ real even row 64a+l   (DMA start 64a+8
-        #   in the 8-top-padded even plane, 72 rows)
-        # odd window:  local l ↔ real odd row 64a+l−8  (DMA start 64a)
-        def copy_e(b_, a_, slot):
-            p0 = pl.multiple_of(a_ * HALF + 8, 8)
-            return pltpu.make_async_copy(
-                xe_ref.at[b_, :, pl.ds(p0, HALF + 8), :], xse_ref.at[slot],
-                sem_e.at[slot])
+        # even-row windows: local l ↔ real even row 64a+l (DMA start
+        #   64a+8 in the 8-top-padded plane, 72 rows)
+        # odd-row windows:  local l ↔ real odd row 64a+l−8 (DMA start 64a)
+        planes = ((xee_ref, wee_ref, sem_ee, 8),
+                  (xeo_ref, weo_ref, sem_eo, 8),
+                  (xoe_ref, woe_ref, sem_oe, 0),
+                  (xoo_ref, woo_ref, sem_oo, 0))
 
-        def copy_o(b_, a_, slot):
-            p0 = pl.multiple_of(a_ * HALF, 8)
-            return pltpu.make_async_copy(
-                xo_ref.at[b_, :, pl.ds(p0, HALF + 8), :], xso_ref.at[slot],
-                sem_o.at[slot])
+        def copies(b_, a_, slot):
+            out = []
+            for src_ref, win_ref, sem, top in planes:
+                p0 = pl.multiple_of(a_ * HALF + top, 8)
+                out.append(pltpu.make_async_copy(
+                    src_ref.at[b_, :, pl.ds(p0, HALF + 8), :],
+                    win_ref.at[slot, :, :, pl.ds(0, wp)], sem.at[slot]))
+            return out
 
         g = bi * n_a + ai
         slot = jax.lax.rem(g, 2)
 
+        # NOTE the window tails [wp, wp+128) are never initialized: tap
+        # lanes reading them only feed acc lanes ≥ wp−2 ≥ wq — stored as
+        # the banks' garbage pad lanes, excluded from the channel sums,
+        # and sliced/masked before any real store in kernel B. Lanes are
+        # elementwise independent through the dot (contraction is over K
+        # only), so garbage never leaks into a real lane.
         @pl.when(g == 0)
         def _():
-            copy_e(0, 0, 0).start()
-            copy_o(0, 0, 0).start()
+            for c in copies(0, 0, 0):
+                c.start()
 
-        copy_e(bi, ai, slot).wait()
-        copy_o(bi, ai, slot).wait()
+        for c in copies(bi, ai, slot):
+            c.wait()
 
         @pl.when(ai + 1 < n_a)
         def _():
-            copy_e(bi, ai + 1, 1 - slot).start()
-            copy_o(bi, ai + 1, 1 - slot).start()
+            for c in copies(bi, ai + 1, 1 - slot):
+                c.start()
 
         @pl.when((ai + 1 == n_a) & (bi + 1 < n_b))
         def _():
-            copy_e(bi + 1, 0, 1 - slot).start()
-            copy_o(bi + 1, 0, 1 - slot).start()
+            for c in copies(bi + 1, 0, 1 - slot):
+                c.start()
 
-        xe = xse_ref[slot]                    # (3, HALF+8, w_pad)
-        xo = xso_ref[slot]
+        wins = {(0, 0): wee_ref[slot], (0, 1): weo_ref[slot],
+                (1, 0): woe_ref[slot], (1, 1): woo_ref[slot]}
 
-        # taps, ki-major then kj (mix_and_fold order). Out-even row r:
-        # ki=0 → odd local r+7, ki=1 → even local r, ki=2 → odd local r+8.
-        # uint8 planes are cast to bf16 here, fused into the staging copy
-        # (0..255 is exact in bf16; /255 is folded into k1 by the caller)
-        # — the planes stay one byte per pixel in HBM and over the DMA.
-        def stage(par, p1_ref):
+        # taps, ki-major then kj (mix_and_fold order). uint8 planes are
+        # cast to bf16 here, fused into the staging copy (0..255 is
+        # exact in bf16; /255 is folded into k1 by the caller) — the
+        # planes stay one byte per pixel in HBM and over the DMA.
+        def stage(par, gam, p1_ref):
             t = 0
             for ki in range(3):
-                if par == 0:
-                    src, off = ((xo, 7), (xe, 0), (xo, 8))[ki]
-                else:
-                    src, off = ((xe, 0), (xo, 8), (xe, 1))[ki]
+                rp, roff = ROW_TAB[par][ki]
                 for kj in range(3):
-                    tap = src[:, off:off + HALF, kj:kj + w]
+                    cp, coff = COL_TAB[gam][kj]
+                    src = wins[(rp, cp)]
+                    tap = src[:, roff:roff + HALF, coff:coff + WB]
                     if tap.dtype == jnp.uint8:
                         # Mosaic has no direct u8→bf16; route through
                         # i32→f32 (exact for 0..255)
                         tap = tap.astype(jnp.int32).astype(jnp.float32)
                     p1_ref[3 * t:3 * (t + 1)] = tap.astype(jnp.bfloat16)
                     t += 1
-            p1_ref[27:28] = jnp.ones((1, HALF, w), jnp.bfloat16)
+            p1_ref[27:28] = jnp.ones((1, HALF, WB), jnp.bfloat16)
 
         # f32 accumulator + epilogue: Mosaic requires a 32-bit matmul acc,
         # and its bf16 `logistic` lowering is broken (vector.broadcast
         # element-type verification failure)
-        def half_out(par, p1_ref):
-            stage(par, p1_ref)
+        def quad_out(par, gam, p1_ref):
+            stage(par, gam, p1_ref)
             acc1 = jax.lax.dot_general(
                 k1_ref[0], p1_ref[...],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (32, HALF, w)
+                preferred_element_type=jnp.float32)   # (32, HALF, WB)
             xl1 = acc1 * jax.nn.sigmoid(acc1)
             if (h - par + 1) // 2 % HALF != 0:
                 # zero rows beyond the image (planes are over-allocated).
                 # The conv of the zero-padded rows yields silu(bias) ≠ 0,
                 # so this mask is required — but only when strips overhang
                 # the image. Parity row R is in-image iff 2R+par < h.
+                # (where-select: pad lanes may hold NaN garbage.)
                 row = jax.lax.broadcasted_iota(
-                    jnp.int32, (HALF, w), 0) + ai * HALF
-                mask = jnp.where(2 * row + par < h, 1.0, 0.0)
-                xl1 = xl1 * mask[None]
+                    jnp.int32, (HALF, WB), 0) + ai * HALF
+                xl1 = jnp.where((2 * row + par)[None] < h, xl1, 0.0)
             return xl1.astype(jnp.bfloat16)
 
-        even = half_out(0, p1e_ref)
-        xl1_ref[0, :, :, 0:w] = even
-        odd = half_out(1, p1o_ref)
-        xl1_ref[0, :, :, w:2 * w] = odd
         # per-strip channel sums of the STORED bf16 values (so the L2
         # attention GAP sees exactly what kernel B reads) — saves the
         # XLA GAP's full re-read of the activation from HBM. Lanes 1..127
         # of the (32, 128) output block are zero padding.
-        srow = (jnp.sum(even.astype(jnp.float32), axis=2)
-                + jnp.sum(odd.astype(jnp.float32), axis=2))    # (32, HALF)
+        srow = jnp.zeros((32, HALF), jnp.float32)
+        scratches = (p1a_ref, p1b_ref, p1c_ref, p1d_ref)
+        outs = (oee_ref, oeo_ref, ooe_ref, ooo_ref)
+        for q, (par, gam) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            v = quad_out(par, gam, scratches[q])
+            outs[q][0] = v
+            # sums over REAL lanes only — [wq, WB) may hold garbage
+            srow = srow + jnp.sum(v[:, :, :wq].astype(jnp.float32),
+                                  axis=2)
         stot = jnp.sum(srow, axis=1, keepdims=True)            # (32, 1)
         sums_ref[0, 0] = jnp.pad(stot, ((0, 0), (0, 127)))
     return kern
 
 
-def make_l2_kernel(w: int, tr2: int, half_out: int = None):
-    """``half_out``: output lane count ≥ w//2 — extra lanes come out zero
-    (the even-column selection matmul simply has no matching column),
-    giving downstream strip kernels a 128-aligned lane width for free."""
-    half = w // 2
-    half_out = half_out or half
+def make_l2_kernel(wq: int, tr2: int, half_out: int = None):
+    """``wq`` = W//2 = the output width. ``half_out``: output lane count
+    ≥ wq — extra lanes come out zero, giving downstream strip kernels a
+    128-aligned lane width."""
+    half_out = half_out or wq
+    WB = -(-wq // 128) * 128          # staged/dot lane width
 
-    def kern(a_ref, k2_ref, out_ref, p2_ref, wf_ref, sem):
+    def kern(aee_ref, aeo_ref, aoe_ref, aoo_ref, k2_ref, out_ref,
+             p2_ref, wf_ref, sem):
         bi = pl.program_id(0)
         si = pl.program_id(1)
         n_s = pl.num_programs(1)
         n_b = pl.num_programs(0)
 
-        # Halo-reuse DMA over the FOLDED activation (a_ref is
-        # (B, 32, Hp/2, 2w): lane bank [0:w] = even L1 row, [w:2w] = odd).
+        # Halo-reuse DMA over the QUAD-FOLDED activation (four
+        # (B, 32, Hp/2, WB) bank arrays, bank q = 2·row_par + col_par;
+        # lanes [wq, WB) carry uninitialized garbage — see pallas_l1).
         # Strip si emits L2 rows [tr2·si, tr2·(si+1)), consuming folded
-        # rows [tr2·si − 1, tr2·si + tr2). One DMA lands the tr2 fresh
-        # rows straight in the window at sublane 8; the 8-row halo region
-        # holds the previous strip's tail (zeros for si == 0 — the conv's
-        # top padding). Slot parity follows the GLOBAL strip counter so
-        # the prefetch chain stays valid across image boundaries.
-        def fresh_copy(b_, s, slot):
+        # rows [tr2·si − 1, tr2·si + tr2). Four DMAs land the tr2 fresh
+        # rows straight in the window at sublane 8; the 8-row top halo
+        # region holds the previous strip's tail (zeros for si == 0 —
+        # the conv's top padding). Slot parity follows the GLOBAL strip
+        # counter so the prefetch chain stays valid across image
+        # boundaries.
+        banks = (aee_ref, aeo_ref, aoe_ref, aoo_ref)
+
+        def fresh_copies(b_, s, slot):
             start = pl.multiple_of(s * tr2, 8)
-            return pltpu.make_async_copy(
-                a_ref.at[b_, :, pl.ds(start, tr2), :],
-                wf_ref.at[slot, :, 8:8 + tr2, :], sem.at[slot])
+            return [pltpu.make_async_copy(
+                bank.at[b_, :, pl.ds(start, tr2), :],
+                wf_ref.at[slot, :, q, 8:8 + tr2, :],
+                sem.at[slot, q]) for q, bank in enumerate(banks)]
 
         g = bi * n_s + si
         slot = jax.lax.rem(g, 2)
 
+        # NOTE the window lane tails [wq, WB) hold the banks' garbage:
+        # tap lanes reading them only feed acc lanes ≥ wq, which are
+        # sliced off (NHWC) or masked (raw_cm) before the store; the
+        # roll's lane-0 wrap (which reads tail lane WB−1) is masked
+        # below.
         @pl.when(g == 0)
         def _():
-            fresh_copy(bi, 0, 0).start()
+            for c in fresh_copies(bi, 0, 0):
+                c.start()
 
-        fresh_copy(bi, si, slot).wait()
+        for c in fresh_copies(bi, si, slot):
+            c.wait()
 
         # halo rows [tr2·si − 8, tr2·si): copied out of the other slot
         # BEFORE that slot's next DMA is started below
         @pl.when(si == 0)
         def _():
-            wf_ref[slot, :, 0:8] = jnp.zeros((32, 8, 2 * w), jnp.bfloat16)
+            wf_ref[slot, :, :, 0:8] = jnp.zeros((32, 4, 8, WB),
+                                                jnp.bfloat16)
 
         @pl.when(si > 0)
         def _():
-            wf_ref[slot, :, 0:8] = wf_ref[1 - slot, :, tr2:tr2 + 8, :]
+            wf_ref[slot, :, :, 0:8] = wf_ref[1 - slot, :, :,
+                                             tr2:tr2 + 8, :]
 
         @pl.when(si + 1 < n_s)
         def _():
-            fresh_copy(bi, si + 1, 1 - slot).start()
+            for c in fresh_copies(bi, si + 1, 1 - slot):
+                c.start()
 
         @pl.when((si + 1 == n_s) & (bi + 1 < n_b))
         def _():
-            fresh_copy(bi + 1, 0, 1 - slot).start()
+            for c in fresh_copies(bi + 1, 0, 1 - slot):
+                c.start()
 
         # window row f ↔ folded row tr2·si − 8 + f. Output row ρ, tap ki
         # reads L1 row 2(tr2·si + ρ) + ki − 1:
-        #   ki=0 → folded row tr2·si + ρ − 1, odd bank  → window 7+ρ
-        #   ki=1 → folded row tr2·si + ρ,     even bank → window 8+ρ
-        #   ki=2 → folded row tr2·si + ρ,     odd bank  → window 8+ρ
+        #   ki=0 → folded row tr2·si + ρ − 1, odd-row banks → window 7+ρ
+        #   ki=1 → folded row tr2·si + ρ,     even-row banks → window 8+ρ
+        #   ki=2 → folded row tr2·si + ρ,     odd-row banks → window 8+ρ
+        # Output col c, tap kj reads L1 col 2c + kj − 1:
+        #   kj=0 → odd-col bank, position c−1 → rolled right by 1 (the
+        #          wrap lane 0 is masked to zero — the conv's left pad)
+        #   kj=1 → even-col bank, position c
+        #   kj=2 → odd-col bank, position c
         # No in-kernel image mask: rows past the image are zero in the
-        # activation itself (kernel A masks them).
-        #
-        # ONE roll per dx over the whole window (measured r3: the
-        # per-tap f32 cast+roll chains were 3x the roll area; taps are
-        # now plain bf16 slice copies). The roll wraps across the
-        # even/odd lane banks, so the edge masks zero BOTH banks' wrap
-        # lanes ({0, w} for the left tap, {w-1, 2w-1} for the right) —
-        # identical staged values to the old per-bank not_first/not_last.
-        folded = wf_ref[slot]                      # (32, tr2+8, 2w)
-        win = folded[:, 7:8 + tr2, :]              # (32, tr2+1, 2w)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (tr2 + 1, 2 * w), 1)
-        mL = jnp.where((lane2 != 0) & (lane2 != w),
-                       1.0, 0.0).astype(jnp.bfloat16)
-        mR = jnp.where((lane2 != w - 1) & (lane2 != 2 * w - 1),
-                       1.0, 0.0).astype(jnp.bfloat16)
-        win32 = win.astype(jnp.float32)
-        winL = (pltpu.roll(win32, 1, 2).astype(jnp.bfloat16) * mL[None])
-        winR = (pltpu.roll(win32, 2 * w - 1, 2).astype(jnp.bfloat16)
-                * mR[None])
+        # activation itself (kernel A masks them). ONE quarter-area roll
+        # (vs round 2's two full-width rolls); the f32 round-trip around
+        # the roll matches the measured-fastest pattern from r3. The
+        # lane-0 mask zeroes the roll's wrap — the conv's left padding.
+        win = wf_ref[slot][:, :, 7:8 + tr2, :]     # (32, 4, tr2+1, WB)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tr2 + 1, WB), 1)
+        rolled = pltpu.roll(win.astype(jnp.float32), 1, 3) \
+            .astype(jnp.bfloat16)
+        # where-select, NOT a mask multiply: the wrap lane may hold
+        # uninitialized-tail garbage (NaN·0 = NaN)
+        rolled = jnp.where(lane[None, None] != 0, rolled,
+                           jnp.bfloat16(0.0))
 
         t = 0
         for ki in range(3):
+            r_p = 0 if ki == 1 else 1
             r0 = 0 if ki == 0 else 1
-            b0 = 0 if ki == 1 else w
-            for src in (winL, win, winR):
-                p2_ref[32 * t:32 * (t + 1)] = src[:, r0:r0 + tr2,
-                                                  b0:b0 + w]
+            for kj in range(3):
+                c_p = 0 if kj == 1 else 1
+                src = rolled if kj == 0 else win
+                bank = 2 * r_p + c_p
+                p2_ref[32 * t:32 * (t + 1)] = src[:, bank,
+                                                  r0:r0 + tr2, :]
                 t += 1
-        p2_ref[288:289] = jnp.ones((1, tr2, w), jnp.bfloat16)
+        if WB > wq:
+            # bias only on real columns, so raw_cm pad lanes stay zero
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tr2, WB), 1)
+            p2_ref[288:289] = jnp.where(lane < wq, 1.0, 0.0) \
+                .astype(jnp.bfloat16)[None]
+        else:
+            p2_ref[288:289] = jnp.ones((1, tr2, WB), jnp.bfloat16)
 
         acc2 = jax.lax.dot_general(
             k2_ref[0], p2_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (64, tr2, w)
-        col = jax.lax.broadcasted_iota(jnp.int32, (w, half_out), 0)
-        tgt = jax.lax.broadcasted_iota(jnp.int32, (w, half_out), 1)
-        # bf16 even-column selection (an exact copy of values that are
-        # about to be bf16-rounded anyway; f32 select runs the MXU at
-        # half rate)
-        sel = jnp.where(col == 2 * tgt, 1.0, 0.0).astype(jnp.bfloat16)
-        acc2 = jax.lax.dot_general(
-            acc2.astype(jnp.bfloat16), sel,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_ref[0] = (acc2 * jax.nn.sigmoid(acc2)).astype(jnp.bfloat16)
+            preferred_element_type=jnp.float32)      # (64, tr2, WB)
+        if half_out < WB:
+            acc2 = acc2[:, :, :half_out]
+        out = (acc2 * jax.nn.sigmoid(acc2)).astype(jnp.bfloat16)
+        if half_out > wq:
+            # raw_cm contract: lanes past wq are ZERO (they carry
+            # uninitialized-tail garbage — possibly NaN — otherwise, so
+            # where-select rather than mask-multiply)
+            olane = jax.lax.broadcasted_iota(
+                jnp.int32, (tr2, half_out), 1)
+            out = jnp.where(olane[None] < wq, out, jnp.bfloat16(0.0))
+        out_ref[0] = out
     return kern
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_l1(x, k1_aug, interpret: bool = False):
-    """x (B,H,W,3) → (xl1 (B,32,Hp/2,2W) bf16 channel-major ROW-PAIR
-    FOLDED — lane banks [0:W]=even row, [W:2W]=odd row — and channel sums
-    (B,32) f32).
+    """x (B,H,W,3) → (xl1: a 4-tuple of (B,32,Hp/2,W/2) bf16
+    channel-major QUAD-FOLDED bank arrays, bank q = 2·row_par + col_par,
+    and channel sums (B,32) f32). W must be even (the stem gate
+    guarantees it).
 
     Hp = H rounded up to 64 plus 24 over-allocated rows for kernel B's
     aligned windows (content beyond H is zero)."""
     b, h, w, _ = x.shape
-    w_pad = -(-(w + 2) // 128) * 128
+    wq = w // 2
+    wq_pad = -(-(wq + 2) // 128) * 128
     n_a = -(-h // RA)
     hp = n_a * RA + 24
     half = RA // 2
@@ -294,81 +355,107 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
     # bs=16@640) — the /255 normalization is folded into k1_aug by the
     # caller, so uint8 values flow into the matmul directly.
     #
-    # PARITY-SPLIT planes (see make_l1_kernel): even/odd real rows as two
-    # arrays, 8 top pad rows each, bottoms sized for the last strip's
-    # 72-row aligned window ([64a+8, 64a+80) even / [64a, 64a+72) odd).
-    # uint8 frames stay uint8 (the XLA split writes 1 byte/px instead of
-    # 2, and kernel A's input DMA halves); the in-kernel tap staging does
-    # the exact bf16 cast.
+    # QUAD-PARITY planes (see make_l1_kernel): (row parity × col parity)
+    # subsampled frames as four arrays, 8 top pad rows + 1 left pad col
+    # each, bottoms sized for the last strip's 72-row aligned window
+    # ([64a+8, 64a+80) even rows / [64a, 64a+72) odd). uint8 frames stay
+    # uint8 (the XLA split writes 1 byte/px instead of 2, and kernel A's
+    # input DMA halves); the in-kernel tap staging does the exact bf16
+    # cast. Total plane bytes = the frame's (split in four, not copied).
     plane_dt = jnp.uint8 if x.dtype == jnp.uint8 else jnp.bfloat16
-    xt = x.transpose(0, 3, 1, 2)
+    # Column-parity via reshape+transpose, NOT a minor-dim strided
+    # slice: xt[:, :, :, g::2] measured 8.2 ms at bs=16@640 (a lane
+    # shuffle XLA does terribly), while moving the (2, 3) minor block
+    # into leading dims is the same relayout class as the old NCHW
+    # transpose (~0.5 ms). Row parity stays a (cheap) sublane stride.
+    x5 = x.reshape(b, h, wq, 2, 3).transpose(0, 3, 4, 1, 2)
+    x5 = x5.astype(plane_dt)                   # (B, 2, 3, H, Wq)
     rows_e, rows_o = (h + 1) // 2, h // 2
-    xe = jnp.pad(xt[:, :, 0::2, :].astype(plane_dt),
-                 ((0, 0), (0, 0), (8, half * n_a + 8 - rows_e),
-                  (1, w_pad - w - 1)))
-    xo = jnp.pad(xt[:, :, 1::2, :].astype(plane_dt),
-                 ((0, 0), (0, 0), (8, half * n_a - rows_o),
-                  (1, w_pad - w - 1)))
+    pads = {0: (8, half * n_a + 8 - rows_e), 1: (8, half * n_a - rows_o)}
 
-    xl1, strip_sums = pl.pallas_call(
-        make_l1_kernel(w, h, w_pad, n_a),
+    def plane(par, gam):
+        sub = x5[:, gam, :, par::2, :]
+        return jnp.pad(sub, ((0, 0), (0, 0), pads[par],
+                             (1, wq_pad - wq - 1)))
+
+    planes = [plane(p_, g_) for p_ in (0, 1) for g_ in (0, 1)]
+    # banks are WB = ceil(wq/128)·128 lanes wide: Mosaic DMA slice
+    # extents must be 128-aligned, so kernel B could not read a wq-wide
+    # HBM array. Lanes [wq, WB) are UNINITIALIZED garbage (never read
+    # into any stored value — see the kernels' notes).
+    wb = -(-wq // 128) * 128
+    bank_shape = jax.ShapeDtypeStruct((b, 32, hp // 2, wb), jnp.bfloat16)
+    bank_spec = pl.BlockSpec((1, 32, RA // 2, wb),
+                             lambda bi, ai: (bi, 0, ai, 0),
+                             memory_space=pltpu.VMEM)
+
+    *xl1, strip_sums = pl.pallas_call(
+        make_l1_kernel(wq, h, n_a),
         grid=(b, n_a),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
             pl.BlockSpec((1, 32, 28), lambda bi, ai: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 32, RA // 2, 2 * w),
-                         lambda bi, ai: (bi, 0, ai, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=[bank_spec] * 4 + [
             pl.BlockSpec((1, 1, 32, 128), lambda bi, ai: (bi, ai, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 32, hp // 2, 2 * w), jnp.bfloat16),
+        out_shape=[bank_shape] * 4 + [
             jax.ShapeDtypeStruct((b, n_a, 32, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((28, half, w), jnp.bfloat16),   # p1 even
-            pltpu.VMEM((28, half, w), jnp.bfloat16),   # p1 odd
-            pltpu.VMEM((2, 3, half + 8, w_pad), plane_dt),  # dbl-buf e
-            pltpu.VMEM((2, 3, half + 8, w_pad), plane_dt),  # dbl-buf o
+            pltpu.VMEM((28, half, wb), jnp.bfloat16),   # p1 ee
+            pltpu.VMEM((28, half, wb), jnp.bfloat16),   # p1 eo
+            pltpu.VMEM((28, half, wb), jnp.bfloat16),   # p1 oe
+            pltpu.VMEM((28, half, wb), jnp.bfloat16),   # p1 oo
+            # window lane tail [wq_pad, wq_pad+128) zeroed in-kernel at
+            # program 0 so the WB-wide tap slices read zero pad lanes
+            pltpu.VMEM((2, 3, half + 8, wq_pad + 128), plane_dt),  # ee
+            pltpu.VMEM((2, 3, half + 8, wq_pad + 128), plane_dt),  # eo
+            pltpu.VMEM((2, 3, half + 8, wq_pad + 128), plane_dt),  # oe
+            pltpu.VMEM((2, 3, half + 8, wq_pad + 128), plane_dt),  # oo
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(xe, xo, k1_aug.astype(jnp.bfloat16))
+    )(*planes, k1_aug.astype(jnp.bfloat16))
     # GAP = Σ strips of the in-kernel per-strip channel sums (a few KB)
     # instead of an XLA reduce that re-reads the whole activation
     sums = jnp.sum(strip_sums[:, :, :, 0], axis=1)
-    return xl1, sums
+    return tuple(xl1), sums
 
 
-@partial(jax.jit, static_argnames=("h", "over_rows", "raw_cm", "interpret"))
-def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
-              raw_cm: bool = False, interpret: bool = False):
-    """xl1 (B,32,Hp/2,2W) folded bf16 from pallas_l1 → (B,H/2,W/2,64) NHWC.
+@partial(jax.jit, static_argnames=("h", "wq", "over_rows", "raw_cm",
+                                   "interpret"))
+def pallas_l2(xl1, k2_aug, h: int = None, wq: int = None,
+              over_rows: int = 0, raw_cm: bool = False,
+              interpret: bool = False):
+    """xl1: 4-tuple of (B,32,Hp/2,WB) quad-folded bank arrays from
+    pallas_l1 → (B,H/2,W/2,64) NHWC.
 
     ``h`` is the TRUE image height; pallas_l1 over-allocates
     Hp = ceil(H/64)·64 + 24, so it cannot be recovered from the array shape
     unless H is divisible by 64. H must be divisible by 16; the strip
     height doubles to 16 when H is divisible by 32 (fewer, bigger
     programs — the kernel is per-program-overhead-bound, not
-    bandwidth-bound).
+    bandwidth-bound). ``wq`` is the TRUE output width W/2 — the banks'
+    lane count is 128-padded, so it too must be passed unless W/2 is a
+    multiple of 128.
 
     ``over_rows``: extra unwritten rows past H/2 in the output allocation
     (a downstream strip kernel's aligned read window). ``raw_cm``: return
     the raw (B, 64, H/2 + over_rows, ceil(W/2 /128)·128) channel-major
     array — lanes past W/2 are zero — instead of the sliced NHWC
     transpose (kernel-only timing and strip-kernel consumers)."""
-    b, _, hp2, w2 = xl1.shape
-    w = w2 // 2
+    b, _, hp2, wb = xl1[0].shape
     if h is None:
         h = 2 * hp2 - 24  # exact only when H was divisible by 64
+    if wq is None:
+        wq = wb           # exact only when W/2 was divisible by 128
     if h % 16 != 0:
         raise ValueError(f"pallas_l2 needs H divisible by 16, got {h}")
     tr2 = next(t for t in (32, 16, 8) if (h // 2) % t == 0)
@@ -377,13 +464,12 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
     # measured r3 — the aligned store saves ~1.3 µs/program in-kernel but
     # inflates the store bytes and the downstream NHWC transpose read by
     # 20%, a net loss end-to-end
-    half_out = -(-(w // 2) // 128) * 128 if raw_cm else w // 2
+    half_out = wb if raw_cm else wq
 
     out = pl.pallas_call(
-        make_l2_kernel(w, tr2, half_out),
+        make_l2_kernel(wq, tr2, half_out),
         grid=(b, n_s),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
             pl.BlockSpec((1, 64, 289), lambda bi, si: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -393,16 +479,16 @@ def pallas_l2(xl1, k2_aug, h: int = None, over_rows: int = 0,
         out_shape=jax.ShapeDtypeStruct((b, 64, h // 2 + over_rows, half_out),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((289, tr2, w), jnp.bfloat16),
-            pltpu.VMEM((2, 32, tr2 + 8, 2 * w), jnp.bfloat16),  # windows
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((289, tr2, wb), jnp.bfloat16),
+            pltpu.VMEM((2, 32, 4, tr2 + 8, wb), jnp.bfloat16),  # windows
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
-        # tr2=16 needs ~19.3 MB scoped VMEM, tr2=32 ~38 MB — above the
-        # compiler's conservative 16 MB default but within v5e's VMEM
+        # tr2=32 needs ~16 MB scoped VMEM — within v5e's VMEM, above the
+        # compiler's conservative 16 MB default
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(xl1, k2_aug.astype(jnp.bfloat16))
+    )(*xl1, k2_aug.astype(jnp.bfloat16))
     if raw_cm:
         return out
     return out[:, :, :h // 2].transpose(0, 2, 3, 1)
@@ -462,7 +548,7 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                       bn1p["bias"], bn1s["mean"], bn1s["var"],
                       out_channels=64)
 
-    return pallas_l2(xl1, k2, h=h, interpret=interpret)
+    return pallas_l2(xl1, k2, h=h, wq=w // 2, interpret=interpret)
 
 
 def detector_stem_fast_path(model, variables, layer_config, attn_temp,
