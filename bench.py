@@ -32,19 +32,11 @@ import numpy as np
 
 
 def _timer(run, sync, iters, warmup):
-    """Throughput timing with a real device sync. On the tunneled 'axon'
-    platform block_until_ready returns before execution completes, so the
-    only reliable sync is fetching a value to the host; the device executes
-    the queued programs in order, so syncing the last result times all."""
-    sync(run())
-    for _ in range(warmup):
-        sync(run())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = run()
-    sync(out)
-    return time.perf_counter() - t0
+    """Throughput timing with a real device value-fetch sync (axon's
+    block_until_ready lies) — delegates to the one shared implementation;
+    imported lazily so main() can pin platform/cache before jax loads."""
+    from uavdet_tpu.utils.timing import time_total
+    return time_total(run, sync, iters, warmup)
 
 
 def _emit(metric, fps):
@@ -382,7 +374,11 @@ def main():
         _detector_bench("DySOEM_SimFPN", soem.model.hparams, 32, 1280,
                         min(args.iters, 10), args.warmup,
                         metric_suffix=" [cfg3 ir thermal]",
-                        microbatch=args.microbatch)
+                        microbatch=args.microbatch,
+                        # gates the folded-stem fast path (DySOEM has no
+                        # Pallas stem; the flag is the A/B switch for
+                        # fold_input_stem exactly as for cfg2's stem)
+                        pallas_stem=not args.no_pallas_stem)
     elif args.config == 4:
         _rtm_detector_bench(8, 640, args.iters, args.warmup)
     elif args.config == 5:

@@ -17,23 +17,12 @@ Usage: python scripts/chain_slope.py [--batch 16]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def _timer(run, sync, iters=20, warmup=3):
-    sync(run())
-    for _ in range(warmup):
-        sync(run())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = run()
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+from uavdet_tpu.utils.timing import time_per_iter as _timer
 
 
 def main():

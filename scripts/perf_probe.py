@@ -14,25 +14,12 @@ Usage: python scripts/perf_probe.py [--batch 16] [--input 640] [--layers]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def _timer(run, sync, iters=20, warmup=3):
-    """Returns PER-ITERATION seconds (unlike bench.py::_timer, which
-    returns TOTAL elapsed and lets callers divide)."""
-    sync(run())
-    for _ in range(warmup):
-        sync(run())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = run()
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+from uavdet_tpu.utils.timing import time_per_iter as _timer
 
 
 def main():

@@ -184,12 +184,27 @@ def test_validate_targets():
         validate_targets(grids, [4, 8])
 
 
+def _two_stage_global_topk(outs, scales, k, anchors=None):
+    """The detector's bs=1 formulation: per-head decode_topk_heads, then
+    a second top-k over the union keyed on NATIVE-DTYPE LOGITS (not
+    scores — f32 sigmoid saturates to exactly 1.0 above logit ≈ 16.6,
+    so a score-keyed second stage reorders high-confidence ties)."""
+    from uavdet_tpu.inference import decode_topk_heads
+    anchors = HP_ANCHORS if anchors is None else anchors
+    hb, hs, hl = decode_topk_heads(outs, anchors, scales, k,
+                                   return_logits=True)
+    tl, ti = jax.lax.top_k(hl, k)
+    ts = jnp.take_along_axis(hs, ti, axis=1)
+    tb = jnp.take_along_axis(hb, ti[..., None], axis=1)
+    return tb, ts
+
+
 def test_decode_topk_global_matches_two_stage(rng):
-    """decode_topk_global (ONE top_k) must equal the previous two-stage
-    formulation — per-head decode_topk_heads, threshold, per-image
-    global top-k — EXACTLY (same candidate set, same descending order,
-    same tie-breaking by concatenated index)."""
-    from uavdet_tpu.inference import decode_topk_global, decode_topk_heads
+    """decode_topk_global (ONE top_k) must equal the two-stage
+    formulation the detector uses at batch 1 EXACTLY (same candidate
+    set, same descending order, same tie-breaking by concatenated
+    index)."""
+    from uavdet_tpu.inference import decode_topk_global
 
     sizes = [4, 8, 16]
     outs = []
@@ -203,16 +218,48 @@ def test_decode_topk_global_matches_two_stage(rng):
     k = 48
 
     gb, gs = decode_topk_global(outs, HP_ANCHORS, scales, k)
-
-    hb, hs = decode_topk_heads(outs, HP_ANCHORS, scales, k)
-    ts, ti = jax.lax.top_k(hs, k)
-    tb = jnp.take_along_axis(hb, ti[..., None], axis=1)
+    tb, ts = _two_stage_global_topk(outs, scales, k)
 
     np.testing.assert_array_equal(np.asarray(gs), np.asarray(ts))
     np.testing.assert_array_equal(np.asarray(gb), np.asarray(tb))
     # sorted descending (the order NMS consumes)
     s = np.asarray(gs)
     assert (np.diff(s, axis=1) <= 0).all()
+
+
+def test_decode_topk_two_stage_matches_global_saturated(rng):
+    """Regression (r3 review): with objectness logits in the f32-sigmoid
+    saturation regime (σ(x) == 1.0 exactly for x ≳ 16.6), many distinct
+    candidates carry IDENTICAL scores, so a second-stage top-k keyed on
+    scores scrambles their order relative to the global logit sort — the
+    bs=1 and batched detector branches then hand NMS different candidate
+    orders. The fixed two-stage path sorts by native-dtype logits and
+    must stay bitwise-equal to decode_topk_global here."""
+    from uavdet_tpu.inference import decode_topk_global
+
+    sizes = [4, 8]
+    scales = [16, 8]
+    outs = []
+    for s in sizes:
+        obj = rng.normal(size=(2, 3, s, s, 1)).astype(np.float32)
+        # scatter saturated logits (17..24) across both heads
+        flat = obj.reshape(2, -1)
+        idx = rng.choice(flat.shape[1], size=24, replace=False)
+        flat[:, idx] = rng.integers(17, 25, size=(2, 24)).astype(
+            np.float32)
+        outs.append(DetectionResults(
+            bbox=jnp.asarray(rng.normal(size=(2, 3, s, s, 4)).astype(
+                np.float32)),
+            obj=jnp.asarray(obj)))
+    k = 32
+
+    gb, gs = decode_topk_global(outs, HP_ANCHORS[:2], scales, k)
+    tb, ts = _two_stage_global_topk(outs, scales, k,
+                                    anchors=HP_ANCHORS[:2])
+    # plenty of exactly-tied saturated scores in the selection
+    assert (np.asarray(gs) == 1.0).sum() >= 20
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(ts))
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(tb))
 
 
 def test_detector_bs1_branch_matches_batched(rng):

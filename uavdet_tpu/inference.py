@@ -104,7 +104,8 @@ def decode_all_heads(outs, anchors: np.ndarray, head_scales: Sequence[int],
 
 
 def decode_topk_heads(outs, anchors: np.ndarray,
-                      head_scales: Sequence[int], pre_nms_topk: int):
+                      head_scales: Sequence[int], pre_nms_topk: int,
+                      return_logits: bool = False):
     """Per-head top-k on objectness LOGITS, then decode only the survivors.
 
     Equivalent to ``decode_all_heads`` + per-head top-k on scores (sigmoid
@@ -119,9 +120,14 @@ def decode_topk_heads(outs, anchors: np.ndarray,
     (reference model/_base.py:214-241 + the mse-mode grid/anchor terms):
       cx = (σ(t0)·2 − 0.5 + gx)·scale,  w = (σ(t2)·2)²·anchor_px.
 
-    → boxes (B, Σ_h k_h, 4) xyxy f32, scores (B, Σ_h k_h) f32.
+    → boxes (B, Σ_h k_h, 4) xyxy f32, scores (B, Σ_h k_h) f32; with
+    ``return_logits`` also the kept objectness logits in their NATIVE
+    dtype (B, Σ_h k_h) — the sort key a second-stage top-k must use to
+    stay bitwise-equal to ``decode_topk_global`` (f32 sigmoid saturates
+    to exactly 1.0 above logit ≈ 16.6, so re-sorting by SCORE collapses
+    distinct high-confidence candidates into ties and reorders them).
     """
-    all_b, all_s = [], []
+    all_b, all_s, all_l = [], [], []
     for h, out in enumerate(outs):
         scale = head_scales[h]
         b, a, hh, ww, _ = out.obj.shape
@@ -134,8 +140,8 @@ def decode_topk_heads(outs, anchors: np.ndarray,
         # precision through the gather below.
         logits = out.obj.reshape(b, n)
         _, top_i = jax.lax.top_k(logits, k)
-        top_l = jnp.take_along_axis(logits, top_i, axis=1).astype(
-            jnp.float32)
+        top_l_native = jnp.take_along_axis(logits, top_i, axis=1)
+        top_l = top_l_native.astype(jnp.float32)
         sel = jnp.take_along_axis(out.bbox.reshape(b, n, 4),
                                   top_i[..., None], axis=1)
         s = jax.nn.sigmoid(sel.astype(jnp.float32))
@@ -153,8 +159,11 @@ def decode_topk_heads(outs, anchors: np.ndarray,
         all_b.append(jnp.stack([cx - w_ / 2, cy - h_ / 2,
                                 cx + w_ / 2, cy + h_ / 2], axis=-1))
         all_s.append(jax.nn.sigmoid(top_l))
-    return (jnp.concatenate(all_b, axis=1),
-            jnp.concatenate(all_s, axis=1))
+        all_l.append(top_l_native)
+    out3 = (jnp.concatenate(all_b, axis=1),
+            jnp.concatenate(all_s, axis=1),
+            jnp.concatenate(all_l, axis=1))
+    return out3 if return_logits else out3[:2]
 
 
 def decode_topk_global(outs, anchors: np.ndarray,
@@ -163,10 +172,13 @@ def decode_topk_global(outs, anchors: np.ndarray,
     heads, then decode only the survivors.
 
     Exactly equivalent to ``decode_topk_heads`` + threshold + per-image
-    global top-k (the two-stage composition computes the global top-k of
-    all candidates; sigmoid is monotonic; and ties break by lowest
-    concatenated index in BOTH formulations since the concat preserves
-    head-major candidate order) — but it issues a single ``lax.top_k``
+    global top-k ON THE NATIVE-DTYPE LOGITS (the two-stage composition
+    computes the global top-k of all candidates; sigmoid is monotonic;
+    and ties break by lowest concatenated index in BOTH formulations
+    since the concat preserves head-major candidate order — note the
+    second stage must sort logits, not scores: f32 sigmoid saturates to
+    exactly 1.0 above logit ≈ 16.6, collapsing distinct candidates into
+    ties) — but it issues a single ``lax.top_k``
     instead of four: measured on v5e, each top_k call carries ~0.6 ms of
     n-independent fixed cost (n=1200 sorts as slowly as n=4800), so
     collapsing 3 per-head sorts + the per-image re-sort into one
@@ -245,12 +257,15 @@ def make_detector(model, hparams, input_size: int,
     modality-major batch of 2B frames (the reference feeds modalities as
     separate samples, AntiUAVDataset.py:110-123).
 
-    ``pallas_stem_variables``: when given (and the model's layer_config
-    starts with the DyConv(32,3,1)+DyConv(64,3,2) stem), the first two
-    layers run through the fused Pallas stem kernels
-    (ops/pallas_stem_split.py) with weights BOUND AT BUILD TIME from this
-    variables tree — the ``variables`` argument of ``detect`` is then
-    ignored for those two layers.
+    ``pallas_stem_variables``: when given, a weight-specialized fast
+    path is built — the fused Pallas stem kernels when the model's
+    layer_config starts with the DyConv(32,3,1)+DyConv(64,3,2) stem
+    (ops/pallas_stem_split.py), or the algebraically folded 1×1 stem
+    for DySOEM models (fold_input_stem). Either way the WHOLE network's
+    weights are bound AT BUILD TIME from this tree and the ``variables``
+    argument of ``detect`` is IGNORED — build a new detector per
+    checkpoint, or pass ``pallas_stem_variables=None`` to keep
+    ``variables`` live (pure-XLA path).
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis. When
     given, the detector is compiled as a pjit program: images batch-sharded
@@ -272,11 +287,12 @@ def make_detector(model, hparams, input_size: int,
             out_shardings=NamedSharding(mesh, P("data")))
 
     stem = None
-    # Gate: the kernels emit whole 16-row strips, and the row-pair-folded
-    # layout additionally needs 128-aligned lanes (width) on real hardware
-    # — sizes like 608 would fail Mosaic compilation, so fall back to the
-    # XLA stem there instead. Interpret mode has no lane constraint.
-    _stem_ok = input_size % (16 if pallas_stem_interpret else 128) == 0
+    # Gate: the kernels emit whole 16-row strips (pallas_l2 needs
+    # H % 16 == 0). The quad-parity layout pads all lane widths to
+    # 128-multiples INTERNALLY, so — unlike the r2 row-pair-folded
+    # layout — there is no %128 width constraint: 608/416/336/512 all
+    # verified bit-exact vs interpret on hardware (r3).
+    _stem_ok = input_size % 16 == 0
     if (pallas_stem_variables is not None and hasattr(model, "layer_config")
             and _stem_ok):
         from .ops.pallas_stem_split import detector_stem_fast_path
@@ -324,13 +340,23 @@ def make_detector(model, hparams, input_size: int,
             # batch 1: the single full-width sort measured SLOWER than
             # the per-head two-stage form (227 vs 240 fps on cfg1 —
             # narrow sorts lose their batch parallelism); both paths are
-            # bitwise identical (tested), so pick by measurement
-            bx, sc = decode_topk_heads(outs, anchors, scales,
-                                       pre_nms_topk)
-            sc = jnp.where(sc >= score_threshold, sc, -jnp.inf)
-            k = min(pre_nms_topk, sc.shape[1])
-            scores, top_i = jax.lax.top_k(sc, k)
+            # bitwise identical (tested), so pick by measurement.
+            # The second-stage sort key must be the NATIVE-dtype LOGITS
+            # (same key as decode_topk_global): f32 sigmoid saturates to
+            # exactly 1.0 above logit ≈ 16.6, so sorting by score there
+            # collapses distinct candidates into ties and hands NMS a
+            # different order than the batched branch (r3 review fix).
+            bx, sc, lg = decode_topk_heads(outs, anchors, scales,
+                                           pre_nms_topk,
+                                           return_logits=True)
+            neg = jnp.asarray(-jnp.inf, lg.dtype)
+            lg = jnp.where(sc >= score_threshold, lg, neg)
+            k = min(pre_nms_topk, lg.shape[1])
+            top_l, top_i = jax.lax.top_k(lg, k)
             boxes = jnp.take_along_axis(bx, top_i[..., None], axis=1)
+            scores = jnp.where(top_l != neg,
+                               jnp.take_along_axis(sc, top_i, axis=1),
+                               -jnp.inf)
 
         def per_image(top_bx, top_sc):
             keep_idx, alive, order = nms(top_bx, top_sc, nms_iou, max_det)

@@ -408,8 +408,11 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
             pltpu.VMEM((28, half, wb), jnp.bfloat16),   # p1 eo
             pltpu.VMEM((28, half, wb), jnp.bfloat16),   # p1 oe
             pltpu.VMEM((28, half, wb), jnp.bfloat16),   # p1 oo
-            # window lane tail [wq_pad, wq_pad+128) zeroed in-kernel at
-            # program 0 so the WB-wide tap slices read zero pad lanes
+            # window lane tail [wq_pad, wq_pad+128) is NEVER initialized
+            # (see the in-kernel NOTE): tap lanes reading it only feed
+            # acc lanes ≥ wq, which every consumer slices or
+            # where-SELECTS away (never mask-multiplies — garbage may
+            # be NaN)
             pltpu.VMEM((2, 3, half + 8, wq_pad + 128), plane_dt),  # ee
             pltpu.VMEM((2, 3, half + 8, wq_pad + 128), plane_dt),  # eo
             pltpu.VMEM((2, 3, half + 8, wq_pad + 128), plane_dt),  # oe
