@@ -224,6 +224,40 @@ def test_folded_stem_matches_unfolded(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_folded_stem_bf16_matches_flax_bitwise(rng):
+    """Regression (r3 review): the folded front at compute_dtype=bf16 —
+    the PRODUCTION cfg3 configuration — must reproduce the unfolded
+    stem+s2d bitwise. flax BatchNorm promotes the bf16 conv output to
+    f32 for the whole eval-mode normalization and casts once; the fold
+    originally pre-rounded the BN constants to bf16 and computed the
+    epilogue in bf16, diverging beyond 1 ulp."""
+    import jax
+    from uavdet_tpu.models.dysoem_simfpn import (
+        InputStemLayer, fold_input_stem, space_to_depth)
+
+    m = DySOEM_SimFPN()
+    variables = m.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)),
+                       train=False)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * rng.standard_normal(v.shape).astype(v.dtype)
+        if v.ndim == 1 else v, variables)
+
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+
+    stem = InputStemLayer(dtype=jnp.bfloat16)
+    sub = {"params": variables["params"]["input_stem"],
+           "batch_stats": variables["batch_stats"]["input_stem"]}
+    want = space_to_depth(
+        stem.apply(sub, x.astype(jnp.bfloat16), train=False), 2)
+
+    front = fold_input_stem(variables, dtype=jnp.bfloat16)
+    got = front(x)
+
+    assert got.dtype == want.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32))
+
+
 def test_folded_stem_detector_end_to_end(rng):
     """make_detector auto-activates the DySOEM fold when variables are
     given; detections must match the non-folded detector exactly."""

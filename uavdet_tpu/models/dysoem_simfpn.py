@@ -157,12 +157,14 @@ def fold_input_stem(variables, k: int = 2, dtype: Any = jnp.float32):
         w_blk = w_blk.at[0, 0, p * c_in:(p + 1) * c_in,
                          p * c_out:(p + 1) * c_out].set(w1[0, 0])
     w_blk = w_blk.astype(dtype)
-    # phase-tiled BN epilogue, flax BatchNorm's exact formula/order
-    # ((x - mean) * (scale * rsqrt(var + eps)) + bias, computed in dtype)
-    mul = (jnp.tile(scale, kk)
-           * jax.lax.rsqrt(jnp.tile(var, kk) + 1e-5)).astype(dtype)
-    mean_t = jnp.tile(mean, kk).astype(dtype)
-    bias_t = jnp.tile(bias, kk).astype(dtype)
+    # phase-tiled BN epilogue, flax BatchNorm's exact formula/order:
+    # (x - mean) * (scale * rsqrt(var + eps)) + bias computed in f32
+    # with f32 constants, ONE cast to dtype at the end — flax promotes
+    # the bf16 conv output to f32 for the whole normalization (verified
+    # bitwise; pre-rounding the constants to bf16 diverges)
+    mul = jnp.tile(scale, kk) * jax.lax.rsqrt(jnp.tile(var, kk) + 1e-5)
+    mean_t = jnp.tile(mean, kk)
+    bias_t = jnp.tile(bias, kk)
 
     def front(x):
         # raw uint8 frames carry the /255 preprocess fold (the detector
@@ -173,7 +175,9 @@ def fold_input_stem(variables, k: int = 2, dtype: Any = jnp.float32):
         y = jax.lax.conv_general_dilated(
             xs, w_blk, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return nn.silu((y - mean_t) * mul + bias_t)
+        y = ((y.astype(jnp.float32) - mean_t) * mul
+             + bias_t).astype(dtype)
+        return nn.silu(y)
 
     return front
 

@@ -345,6 +345,12 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
     Hp = H rounded up to 64 plus 24 over-allocated rows for kernel B's
     aligned windows (content beyond H is zero)."""
     b, h, w, _ = x.shape
+    # H must be even too: the beyond-image row-mask skip tests PER-PARITY
+    # row-count divisibility ((h±1)//2 % 64), which for odd H can pass
+    # while the strip grid still overhangs — silu(bias) garbage would
+    # then land in the banks AND the channel sums (r3 review).
+    if h % 2 or w % 2:
+        raise ValueError(f"pallas_l1 needs even H and W, got {h}x{w}")
     wq = w // 2
     wq_pad = -(-(wq + 2) // 128) * 128
     n_a = -(-h // RA)
@@ -434,20 +440,20 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
 
 @partial(jax.jit, static_argnames=("h", "wq", "over_rows", "raw_cm",
                                    "interpret"))
-def pallas_l2(xl1, k2_aug, h: int = None, wq: int = None,
+def pallas_l2(xl1, k2_aug, h: int, wq: int,
               over_rows: int = 0, raw_cm: bool = False,
               interpret: bool = False):
     """xl1: 4-tuple of (B,32,Hp/2,WB) quad-folded bank arrays from
     pallas_l1 → (B,H/2,W/2,64) NHWC.
 
-    ``h`` is the TRUE image height; pallas_l1 over-allocates
-    Hp = ceil(H/64)·64 + 24, so it cannot be recovered from the array shape
-    unless H is divisible by 64. H must be divisible by 16; the strip
-    height doubles to 16 when H is divisible by 32 (fewer, bigger
-    programs — the kernel is per-program-overhead-bound, not
-    bandwidth-bound). ``wq`` is the TRUE output width W/2 — the banks'
-    lane count is 128-padded, so it too must be passed unless W/2 is a
-    multiple of 128.
+    ``h`` is the TRUE image height and ``wq`` the TRUE output width W/2.
+    Both are REQUIRED: pallas_l1 over-allocates Hp = ceil(H/64)·64 + 24
+    and 128-pads the banks' lane count, so neither can be recovered from
+    the array shapes (a silent wrong guess would treat uninitialized pad
+    lanes/rows — possibly NaN — as image content). H must be divisible
+    by 16; the strip height doubles to 16 when H is divisible by 32
+    (fewer, bigger programs — the kernel is per-program-overhead-bound,
+    not bandwidth-bound).
 
     ``over_rows``: extra unwritten rows past H/2 in the output allocation
     (a downstream strip kernel's aligned read window). ``raw_cm``: return
@@ -455,10 +461,6 @@ def pallas_l2(xl1, k2_aug, h: int = None, wq: int = None,
     array — lanes past W/2 are zero — instead of the sliced NHWC
     transpose (kernel-only timing and strip-kernel consumers)."""
     b, _, hp2, wb = xl1[0].shape
-    if h is None:
-        h = 2 * hp2 - 24  # exact only when H was divisible by 64
-    if wq is None:
-        wq = wb           # exact only when W/2 was divisible by 128
     if h % 16 != 0:
         raise ValueError(f"pallas_l2 needs H divisible by 16, got {h}")
     tr2 = next(t for t in (32, 16, 8) if (h // 2) % t == 0)
