@@ -91,8 +91,8 @@ def main():
             with Image.open(p) as im:
                 arr = np.asarray(im.convert("RGB"))
             sizes.append(arr.shape[:2])
-            # BILINEAR matches the on-device jax.image.resize path used by
-            # train/eval preprocess(), keeping serving numerics aligned.
+            # BILINEAR matches the on-device bilinear (separable-matmul) resize
+            # in preprocess(), keeping serving numerics aligned.
             frames.append(np.asarray(
                 Image.fromarray(arr).resize((input_size, input_size),
                                             Image.BILINEAR)))

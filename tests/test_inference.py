@@ -38,6 +38,22 @@ def test_preprocess_uint8_resize_normalize():
     assert float(out[0, 32, 56, 0]) < 0.1
 
 
+def test_preprocess_matmul_resize_matches_jax_image(rng):
+    """preprocess's separable-matmul resize (the MXU form that replaced
+    XLA's gather lowering of jax.image.resize — 4.3 → 1.9 ms for
+    8×1080p→640² on v5e, PERF.md r3) must reproduce
+    jax.image.resize(method='bilinear') numerics: the antialiased
+    triangle kernel on downscale, plain 2-tap on upscale, and the
+    drop+renormalize edge handling."""
+    for shape in ((2, 108, 192, 3), (2, 51, 64, 3), (1, 130, 70, 1)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = np.asarray(preprocess(jnp.asarray(img), 64, jnp.float32))
+        x = jnp.asarray(img, jnp.float32) / 255.0
+        ref = np.asarray(jax.image.resize(
+            x, (shape[0], 64, 64, shape[3]), "bilinear"))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=3e-5)
+
+
 def test_preprocess_dual_alignment(rng):
     rgb = rng.integers(0, 255, size=(3, 108, 192, 3), dtype=np.uint8)
     ir = rng.integers(0, 255, size=(3, 51, 64, 3), dtype=np.uint8)

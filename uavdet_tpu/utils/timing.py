@@ -13,12 +13,14 @@ import numpy as np
 
 
 def fetch_sync(v):
-    """Synchronize by fetching one element of (the first leaf of) ``v``
-    to the host. Works for arrays, tuples/lists, and pytrees."""
+    """Synchronize by fetching ONE element of (the first leaf of) ``v``
+    to the host. Works for arrays, tuples/lists, and pytrees. The slice
+    happens ON DEVICE before the host fetch — np.asarray on the full
+    leaf would drag the whole array through the tunnel."""
     import jax
 
     leaf = jax.tree_util.tree_leaves(v)[0]
-    return np.asarray(leaf).ravel()[:1]
+    return np.asarray(leaf.ravel()[:1])
 
 
 def time_total(run, sync, iters, warmup):
