@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.decode import decode_predictions
+from .ops.resize import bilinear_resize
 from .ops.nms import nms
 
 
@@ -34,25 +35,6 @@ class Detections(NamedTuple):
     valid: jnp.ndarray   # (B, max_det) bool
 
 
-@lru_cache(maxsize=None)
-def _resize_weights(n_in: int, n_out: int) -> np.ndarray:
-    """(n_in, n_out) f32 separable-resize matrix replicating
-    ``jax.image.resize(method='bilinear')`` for one axis, including its
-    antialiased (1/scale-widened) triangle kernel on downscale and its
-    drop-out-of-range-taps + renormalize edge handling. Verified against
-    jax.image.resize to ≤1.2e-7 (downscale) / 1.8e-5 (upscale) at f32."""
-    scale = n_out / n_in
-    kscale = min(scale, 1.0)
-    out = np.zeros((n_in, n_out), np.float64)
-    idx = np.arange(n_in)
-    for o in range(n_out):
-        c = (o + 0.5) / scale - 0.5
-        w = np.maximum(0.0, 1.0 - np.abs((idx - c) * kscale))
-        s = w.sum()
-        out[:, o] = w / s if s > 0 else 0.0
-    return out.astype(np.float32)
-
-
 def preprocess(images: jnp.ndarray, input_size: int,
                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """uint8/float NHWC frames → (B, S, S, C) in [0,1], compute dtype.
@@ -60,7 +42,8 @@ def preprocess(images: jnp.ndarray, input_size: int,
     Replaces the reference's host-side albumentations Resize+ToFloat
     (prepare_dataloader.py:20-24) with an on-device op that XLA fuses into
     the first conv's input pipeline. The resize runs as two separable
-    matmuls against precomputed bilinear weight matrices instead of
+    matmuls against precomputed bilinear weight matrices (ops/resize.py)
+    instead of
     ``jax.image.resize``: the triangle kernels touch ≤5 input rows/cols
     per output, but XLA's gather-based lowering of resize measures 4.3 ms
     for 8×1080p→640² on v5e where the MXU form takes 1.9 ms (PERF.md r3).
@@ -71,14 +54,7 @@ def preprocess(images: jnp.ndarray, input_size: int,
     x = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
         x = x / 255.0
-    b, h, w, c = x.shape
-    if (h, w) != (input_size, input_size):
-        if h != input_size:
-            x = jnp.einsum("bhwc,hH->bHwc", x,
-                           jnp.asarray(_resize_weights(h, input_size)))
-        if w != input_size:
-            x = jnp.einsum("bhwc,wW->bhWc", x,
-                           jnp.asarray(_resize_weights(w, input_size)))
+    x = bilinear_resize(x, input_size, input_size)
     return x.astype(compute_dtype)
 
 

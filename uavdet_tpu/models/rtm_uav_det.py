@@ -37,6 +37,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.boxes import box_convert, box_iou_pairwise
+from ..ops.resize import bilinear_resize
 from ..utils.datatypes import DetectionResults
 
 
@@ -183,7 +184,10 @@ class MFDFEncoderModule(nn.Module):
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         b, h, w, c = x2.shape
-        up = jax.image.resize(x2, (b, h * 2, w * 2, c), "bilinear")
+        # bilinear 2x upsample as separable matmuls — same numerics as
+        # jax.image.resize('bilinear'), which lowers to slow TPU gathers
+        # (ops/resize.py; PERF.md r3)
+        up = bilinear_resize(x2, h * 2, w * 2)
         f = nn.Conv(self.x2_c_in // 4, (3, 3), padding=1,
                     dtype=self.dtype, name="upsample_conv")(up)
         x1 = jnp.concatenate([x1, f], axis=-1)
