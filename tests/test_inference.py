@@ -38,6 +38,24 @@ def test_preprocess_uint8_resize_normalize():
     assert float(out[0, 32, 56, 0]) < 0.1
 
 
+def test_topk_wide_chunked_matches_single_sort(rng):
+    """_topk_wide's chunked two-stage path (engaged for n ≥ 4·chunk;
+    the 84.7→44.7 ms cfg3 postprocess win, PERF.md r3) must reproduce
+    the single lax.top_k exactly — values provably (union-of-per-chunk
+    argument), and here also indices, on data dense with bf16 ties."""
+    from uavdet_tpu.inference import _TOPK_CHUNK, _topk_wide
+
+    n = 4 * _TOPK_CHUNK + 1234   # engages chunking, exercises -inf pad
+    k = 64
+    x = jnp.asarray(
+        np.round(rng.normal(size=(3, n)) * 4) / 4, jnp.bfloat16)
+    rv, ri = jax.lax.top_k(x, k)
+    gv, gi = _topk_wide(x, k)
+    np.testing.assert_array_equal(np.asarray(gv, np.float32),
+                                  np.asarray(rv, np.float32))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+
+
 def test_preprocess_matmul_resize_matches_jax_image(rng):
     """preprocess's separable-matmul resize (the MXU form that replaced
     XLA's gather lowering of jax.image.resize — 4.3 → 1.9 ms for

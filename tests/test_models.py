@@ -224,6 +224,78 @@ def test_folded_stem_matches_unfolded(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_soem_s2d_conv_matches_plain(rng):
+    """DynamicSOEM's fused s2d-as-conv path (the experts conv applied
+    directly to the pre-s2d map as a (k·ks)² stride-k conv with a
+    permuted kernel — eliminates the space_to_depth relayout, PERF.md
+    r3) must (a) produce the SAME variable tree as the plain path
+    bitwise, (b) reproduce the plain path's outputs to f32-reassociation
+    tolerance, in both eval and train mode."""
+    import jax
+    from uavdet_tpu.models.dysoem_simfpn import DySOEM_SimFPN
+
+    m_fused = DySOEM_SimFPN()                 # s2d_conv=True default
+    m_plain = DySOEM_SimFPN(s2d_conv=False)   # the s2d formulation
+    z = jnp.zeros((1, 64, 64, 3))
+    v_f = m_fused.init(jax.random.key(5), z, train=False)
+    v_p = m_plain.init(jax.random.key(5), z, train=False)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), v_f, v_p)
+
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * rng.standard_normal(v.shape).astype(v.dtype)
+        if v.ndim == 1 else v, v_p)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+
+    want = m_plain.apply(variables, x, train=False)
+    got = m_fused.apply(variables, x, train=False)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g.bbox), np.asarray(w.bbox),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g.obj), np.asarray(w.obj),
+                                   rtol=1e-4, atol=1e-5)
+
+    # train mode: BN batch stats must match too (same conv outputs)
+    wo, wm = m_plain.apply(variables, x, train=True,
+                           mutable=["batch_stats"])
+    go, gm = m_fused.apply(variables, x, train=True,
+                           mutable=["batch_stats"])
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        wm, gm)
+
+
+def test_soem_experts_conv_ckpt_compatible_with_nn_conv(rng):
+    """_ExpertsConv must be a bitwise drop-in for the nn.Conv it
+    replaced: same param names, shapes, AND init values under the same
+    scope path (the param PRNG folds in the path; the initializers must
+    match) — old checkpoints keep loading."""
+    import jax
+    from flax import linen as nn
+    from uavdet_tpu.models.dysoem_simfpn import _ExpertsConv
+
+    class RefWrap(nn.Module):
+        @nn.compact
+        def __call__(self, f):
+            return nn.Conv(6, (3, 3), padding=1, use_bias=True,
+                           name="experts")(f)
+
+    class NewWrap(nn.Module):
+        @nn.compact
+        def __call__(self, f):
+            return _ExpertsConv(6, 3, f.shape[-1], name="experts")(
+                f, 2, False)
+
+    f = jnp.asarray(rng.uniform(size=(1, 8, 8, 12)).astype(np.float32))
+    v_ref = RefWrap().init(jax.random.key(7), f)
+    v_new = NewWrap().init(jax.random.key(7), f)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), v_ref, v_new)
+    np.testing.assert_allclose(
+        np.asarray(NewWrap().apply(v_ref, f)),
+        np.asarray(RefWrap().apply(v_ref, f)), rtol=1e-6, atol=1e-6)
+
+
 def test_folded_stem_bf16_matches_flax_bitwise(rng):
     """Regression (r3 review): the folded front at compute_dtype=bf16 —
     the PRODUCTION cfg3 configuration — must reproduce the unfolded

@@ -110,6 +110,38 @@ def decode_all_heads(outs, anchors: np.ndarray, head_scales: Sequence[int],
             jnp.concatenate(all_scores, axis=1))
 
 
+_TOPK_CHUNK = 16384
+
+
+def _topk_wide(logits: jnp.ndarray, k: int):
+    """``lax.top_k`` over (B, n), two-stage chunked when n is very wide.
+
+    XLA's single top_k at DySOEM-1280 scale (n≈1.6M, B=32) measures
+    84.7 ms on v5e; per-chunk top-k then top-k over the m·k survivors
+    measures 44.7 ms at chunk=16384. VALUES are provably exact: every
+    global top-k element is a top-k element of its own chunk (any
+    in-chunk discard loses to ≥k earlier same-chunk elements, which beat
+    it globally too), and padding with -inf can only be selected when
+    k > n. Tie ORDER additionally matched the single sort bitwise over
+    randomized bf16 trials at the integrated shapes — kept conservative
+    because XLA's top_k tie-stability is shape-dependent (observed
+    index-order violations at a 102400-wide second stage, none at
+    ≤51200; chunk=16384 keeps stage 2 ≤ that for m·k ≤ 100·512).
+    """
+    b, n = logits.shape
+    if n < 4 * _TOPK_CHUNK or k > _TOPK_CHUNK:
+        return jax.lax.top_k(logits, k)
+    m = -(-n // _TOPK_CHUNK)
+    pad = m * _TOPK_CHUNK - n
+    xp = jnp.pad(logits, ((0, 0), (0, pad)),
+                 constant_values=-jnp.inf) if pad else logits
+    v1, i1 = jax.lax.top_k(xp.reshape(b, m, _TOPK_CHUNK), k)
+    g1 = (jnp.arange(m, dtype=jnp.int32)[None, :, None] * _TOPK_CHUNK
+          + i1).reshape(b, m * k)
+    v2, i2 = jax.lax.top_k(v1.reshape(b, m * k), k)
+    return v2, jnp.take_along_axis(g1, i2, axis=1)
+
+
 def decode_topk_heads(outs, anchors: np.ndarray,
                       head_scales: Sequence[int], pre_nms_topk: int,
                       return_logits: bool = False):
@@ -146,7 +178,7 @@ def decode_topk_heads(outs, anchors: np.ndarray,
         # protocol precision. The kept logits are re-read at full
         # precision through the gather below.
         logits = out.obj.reshape(b, n)
-        _, top_i = jax.lax.top_k(logits, k)
+        _, top_i = _topk_wide(logits, k)
         top_l_native = jnp.take_along_axis(logits, top_i, axis=1)
         top_l = top_l_native.astype(jnp.float32)
         sel = jnp.take_along_axis(out.bbox.reshape(b, n, 4),
@@ -209,7 +241,7 @@ def decode_topk_global(outs, anchors: np.ndarray,
                            axis=1)
     # sort in the head's native dtype (bf16 on TPU — see
     # decode_topk_heads); kept logits re-read at full precision below
-    top_l, top_i = jax.lax.top_k(logits, k)
+    top_l, top_i = _topk_wide(logits, k)
 
     # static per-head lookup tables, indexed by the candidate's head id
     offs = np.asarray([hd[0] for hd in heads] + [n], np.int32)

@@ -71,12 +71,74 @@ def space_to_depth(x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
     return x.reshape(b, h // k, w // k, k * k * c)
 
 
+class _ExpertsConv(nn.Module):
+    """Param-tree-compatible stand-in for the SOEM experts
+    ``nn.Conv(features, (ks, ks), padding=ks//2, use_bias=True)`` —
+    same params (``kernel``/``bias``), shapes, and initializers — that
+    can apply the conv EITHER on the space-to-depth'd map (plain path)
+    OR directly on the pre-s2d map as a (k·ks)×(k·ks) stride-k conv
+    with the kernel permuted to match (fused path).
+
+    The fusion is exact algebra: s2d is a pixel→channel permutation, so
+    a ks×ks conv on the s2d'd map taps original pixels
+    (k·dy + pi − k·(ks//2), k·dx + pj − …) for s2d channel phase
+    (pi, pj) — i.e. a dense (k·ks)² stride-k window. Rearranging the
+    (ks, ks, k²·C, F) kernel to (k·ks, k·ks, C, F) by
+    [k·dy+pi, k·dx+pj, c] ← [dy, dx, (pi·k+pj)·C + c] reproduces every
+    tap. Why: space_to_depth is a relayout XLA executes at transpose
+    speed (~60-100 GB/s) — at DySOEM bs=32 @1280 the two inner s2d's
+    move ~2.5 GB/step; the fused form never materializes them.
+    """
+
+    features: int
+    ksize: int
+    kk_cin: int  # k²·C_in, the s2d'd channel count
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, k: int, fused: bool):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.ksize, self.ksize, self.kk_cin,
+                             self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        dt = x.dtype
+        ks = self.ksize
+        if not fused:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(dt), window_strides=(1, 1),
+                padding=_same_pad(ks // 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(dt)
+        c_in = x.shape[-1]
+        ker = kernel.reshape(ks, ks, k, k, c_in, self.features)
+        ker = ker.transpose(0, 2, 1, 3, 4, 5).reshape(
+            k * ks, k * ks, c_in, self.features)
+        pad = k * (ks // 2)
+        y = jax.lax.conv_general_dilated(
+            x, ker.astype(dt), window_strides=(k, k),
+            padding=_same_pad(pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dt)
+
+
+def _same_pad(p: int):
+    return ((p, p), (p, p))
+
+
 class DynamicSOEM(nn.Module):
     """Small-Object Enhancement Module (reference DySOEM_SimFPN.py:38-94).
 
     ``skip_s2d``: the input is ALREADY the space-to-depth'd feature map
     (used by the folded-stem inference path, see ``fold_input_stem``).
     Control-flow only — the variable tree is identical either way.
+
+    ``s2d_conv``: apply the experts conv directly on the pre-s2d map as
+    a (k·ks)×(k·ks) stride-k conv (exact kernel permutation, see
+    ``_ExpertsConv``) instead of materializing space_to_depth. The
+    attention GAP is computed as per-(phase, channel) means via a
+    reduce (no relayout). Same variable tree; numerics equal to the
+    plain path within f32-accumulation reassociation (~1 ulp, tested).
     """
 
     in_channels: int
@@ -85,17 +147,35 @@ class DynamicSOEM(nn.Module):
     downsample_factor: int = 2
     reduction_ratio: int = 2
     skip_s2d: bool = False
+    s2d_conv: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_temp: float = 1.0, train: bool = False):
         k = self.downsample_factor
-        f = x if self.skip_s2d else space_to_depth(x, k)
-        in_attn = f.shape[-1]
+        b, h, w, c = x.shape
+        fused = (self.s2d_conv and not self.skip_s2d
+                 and h % k == 0 and w % k == 0)
+        dt = self.dtype or jnp.float32
+
+        if self.skip_s2d:
+            f = x
+        elif fused:
+            f = None  # the s2d'd map never exists
+        else:
+            f = space_to_depth(x, k)
+        in_attn = (k * k * c) if fused else f.shape[-1]
         out_c = in_attn // self.reduction_ratio
         hidden = max(1, in_attn // 4)
 
-        pooled = jnp.mean(f, axis=(1, 2))
+        if fused:
+            # per-(row phase, col phase, channel) means == GAP over the
+            # s2d'd map in its channel order (pi·k + pj)·C + c
+            pooled = x.astype(dt).reshape(
+                b, h // k, k, w // k, k, c).mean(axis=(1, 3))
+            pooled = pooled.reshape(b, k * k * c)
+        else:
+            pooled = jnp.mean(f.astype(dt), axis=(1, 2))
         a = nn.Dense(hidden, name="attn_fc1", dtype=self.dtype)(pooled)
         a = nn.relu(a)
         a = nn.Dense(self.num_dy_conv, name="attn_fc2", dtype=self.dtype)(a)
@@ -103,11 +183,11 @@ class DynamicSOEM(nn.Module):
                               axis=-1)  # (B, E)
 
         ks = self.dy_kernel_size
-        y = nn.Conv(self.num_dy_conv * out_c, (ks, ks),
-                    padding=ks // 2, use_bias=True, name="experts",
-                    dtype=self.dtype)(f)
-        b, h, w, _ = y.shape
-        y = y.reshape(b, h, w, self.num_dy_conv, out_c)
+        y = _ExpertsConv(self.num_dy_conv * out_c, ks, in_attn,
+                         dtype=self.dtype, name="experts")(
+            (x if fused else f).astype(dt), k, fused)
+        b, hh, ww, _ = y.shape
+        y = y.reshape(b, hh, ww, self.num_dy_conv, out_c)
         y = jnp.einsum("bhwec,be->bhwc", y, attn.astype(y.dtype))
 
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -240,6 +320,7 @@ class DySOEM_SimFPN(nn.Module):
     attn_temperature: float = 30.0
     n_anchors: int = 3
     stem_folded: bool = False
+    s2d_conv: bool = True  # fused s2d-as-conv SOEMs (see DynamicSOEM)
     dtype: Any = None
 
     @nn.compact
@@ -255,6 +336,7 @@ class DySOEM_SimFPN(nn.Module):
                 zip(self.num_dy_conv, self.dy_kernel_size)):
             x = DynamicSOEM(x.shape[-1], num_dy_conv=e, dy_kernel_size=ks,
                             skip_s2d=self.stem_folded and i == 0,
+                            s2d_conv=self.s2d_conv,
                             name=f"soem_{i}", dtype=dt)(
                 x, self.attn_temperature, train)
             feats.append(x)
