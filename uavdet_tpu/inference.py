@@ -14,7 +14,7 @@ whole chain is ONE jitted XLA program with static shapes:
      IoU 0.5 (reference :203), keeping max_det=300 (utils/metrics.py:97).
 """
 
-from functools import lru_cache, partial
+from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax
@@ -122,16 +122,24 @@ def _topk_wide(logits: jnp.ndarray, k: int):
     global top-k element is a top-k element of its own chunk (any
     in-chunk discard loses to ≥k earlier same-chunk elements, which beat
     it globally too), and padding with -inf can only be selected when
-    k > n. Tie ORDER additionally matched the single sort bitwise over
-    randomized bf16 trials at the integrated shapes — kept conservative
-    because XLA's top_k tie-stability is shape-dependent (observed
-    index-order violations at a 102400-wide second stage, none at
-    ≤51200; chunk=16384 keeps stage 2 ≤ that for m·k ≤ 100·512).
+    k > n. Tie ORDER (hence indices) is only EMPIRICALLY equal to the
+    single sort: bitwise-matched over randomized bf16 trials at the
+    integrated shapes, but XLA's top_k tie-stability is shape- AND
+    dtype-dependent — violations observed at a 102400-wide second stage,
+    and once at m·k=3072 with f32 random data on v5e (equal-VALUE
+    candidates swapped; detections differ only in the arbitrary order of
+    exact score ties). The guard below keeps the chunked path inside the
+    bf16 trial envelope (stage 2 ≤ 51200) and falls back to the single
+    sort outside it.
     """
     b, n = logits.shape
-    if n < 4 * _TOPK_CHUNK or k > _TOPK_CHUNK:
-        return jax.lax.top_k(logits, k)
     m = -(-n // _TOPK_CHUNK)
+    # Guard BOTH ends of the verified domain: chunking only pays off for
+    # very wide n, and the stage-2 sort must stay ≤51200 wide (the bound
+    # below which the bitwise tie-order trials saw zero violations) or
+    # the bitwise-equality guarantee vs the single sort is void.
+    if n < 4 * _TOPK_CHUNK or k > _TOPK_CHUNK or m * k > 51200:
+        return jax.lax.top_k(logits, k)
     pad = m * _TOPK_CHUNK - n
     xp = jnp.pad(logits, ((0, 0), (0, pad)),
                  constant_values=-jnp.inf) if pad else logits

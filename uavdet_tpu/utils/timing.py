@@ -19,7 +19,7 @@ def fetch_sync(v):
     leaf would drag the whole array through the tunnel."""
     import jax
 
-    leaf = jax.tree_util.tree_leaves(v)[0]
+    leaf = jax.numpy.asarray(jax.tree_util.tree_leaves(v)[0])
     return np.asarray(leaf.ravel()[:1])
 
 
