@@ -56,6 +56,42 @@ def test_topk_wide_chunked_matches_single_sort(rng):
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
 
 
+def test_topk_wide_guards_tie_order_domain(rng):
+    """Outside the empirically-verified tie-order envelope (stage-2 width
+    m·k > 51200) _topk_wide must fall back to THE single lax.top_k —
+    bitwise, trivially, because it IS that call. Also pins that the cfg3
+    integration shape stays INSIDE the envelope (still chunked)."""
+    from uavdet_tpu.inference import _TOPK_CHUNK, _topk_wide
+
+    # m·k = ceil(n/chunk)·k = 7·8192 = 57344 > 51200 → must fall back.
+    n, k = 7 * _TOPK_CHUNK, 8192
+    x = jnp.asarray(rng.normal(size=(2, n)), jnp.float32)
+    rv, ri = jax.lax.top_k(x, k)
+    gv, gi = _topk_wide(x, k)
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+
+    # cfg3's real width (DySOEM @1280: 3·(640²+320²+160²)) with the
+    # production k=512 must remain in the chunked domain: m·k ≤ 51200.
+    n_cfg3 = 3 * (640 ** 2 + 320 ** 2 + 160 ** 2)
+    m = -(-n_cfg3 // _TOPK_CHUNK)
+    assert n_cfg3 >= 4 * _TOPK_CHUNK and m * 512 <= 51200
+
+
+def test_fetch_sync_scalar_leaf():
+    """fetch_sync documents support for arbitrary pytrees — including
+    ones whose first leaf is a Python scalar (e.g. (loss_float, arrays)
+    from a probe's run())."""
+    from uavdet_tpu.utils.timing import fetch_sync
+
+    out = fetch_sync((3.5, jnp.ones(4)))
+    assert float(out[0]) == 3.5
+    out = fetch_sync({"n": 7, "x": jnp.zeros((2, 2))})
+    assert int(out[0]) == 7
+    out = fetch_sync(jnp.arange(6).reshape(2, 3))
+    assert int(out[0]) == 0
+
+
 def test_preprocess_matmul_resize_matches_jax_image(rng):
     """preprocess's separable-matmul resize (the MXU form that replaced
     XLA's gather lowering of jax.image.resize — 4.3 → 1.9 ms for
