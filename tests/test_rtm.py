@@ -31,12 +31,13 @@ def test_rtm_forward_shapes():
     assert b[..., 0].min() >= -0.5 and b[..., 0].max() <= 16.5
 
 
-def test_mdyconv_factorization_matches_dense_depthwise(rng):
+@pytest.mark.parametrize("impl", ["shift", "dw", "vmap"])
+def test_mdyconv_factorization_matches_dense_depthwise(rng, impl):
     """kernel[b,c] = channel_w[b,c]·kernel_w[b] ⇒ depthwise conv equals
-    spatial-conv-then-scale."""
+    spatial-conv-then-scale — for every _spatial_dyconv formulation."""
     B, H, W, C, K = 2, 8, 8, 6, 3
     m = MDyConv(attention_out_c=4, dy_kernel_size=K, dy_padding=1,
-                dy_channel_size=C)
+                dy_channel_size=C, impl=impl)
     x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
     vars_ = m.init({"params": jax.random.key(0)}, x, train=False)
     got = m.apply(vars_, x, train=False)
@@ -77,6 +78,21 @@ def test_mdyconv_factorization_matches_dense_depthwise(rng):
     want += np.asarray(xb)  # residual
 
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("k,p", [(1, 0), (3, 1), (5, 2)])
+def test_spatial_dyconv_impls_agree(rng, k, p):
+    """The three formulations of the per-sample shared spatial filter are
+    numerically interchangeable at every kernel size MDyEncoder uses."""
+    from uavdet_tpu.models.rtm_uav_det import _spatial_dyconv
+    B, H, W, C = 3, 10, 12, 7
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    kw = jnp.asarray(rng.normal(size=(B, k, k)).astype(np.float32))
+    ref = np.asarray(_spatial_dyconv(x, kw, p, "vmap"))
+    for impl in ("shift", "dw"):
+        got = np.asarray(_spatial_dyconv(x, kw, p, impl))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=impl)
 
 
 def test_filter_high_iou_bboxes():

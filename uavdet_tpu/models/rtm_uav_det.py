@@ -29,6 +29,7 @@ Blocks:
 * ``RTMHead``        sigmoid heads + grid/anchor decode (reference :258-310)
 """
 
+import os
 from typing import Any, List, Sequence, Tuple
 
 import jax
@@ -79,12 +80,66 @@ class StemLayer(nn.Module):
                              padding=(1, 1), dtype=self.dtype)(x, train)
 
 
+def _spatial_dyconv(x, kernel_w, padding, impl):
+    """Per-sample spatial filter shared across channels: every channel of
+    ``x[b]`` is convolved with the SAME k×k kernel ``kernel_w[b]``. Three
+    mathematically identical formulations (all accumulate in f32, like
+    XLA's conv), selectable for TPU performance:
+
+    * ``vmap`` (default): channels-as-batch single-filter conv. On paper
+      its (C, H, W, 1) operand pads the minor dim 1→128, but measured
+      end-to-end on v5e it is the FASTEST by a wide margin — XLA's conv
+      lowering handles the relayout better than either rewrite
+      (cfg4 675.9 fps vs 552.3 ``dw`` / 501.6 ``shift``; PERF.md
+      round-3 RTM study).
+    * ``dw``: vmap over batch of a depthwise conv (feature_group_count=C),
+      channels stay on lanes.
+    * ``shift``: k² shifted-slice multiply-adds — a pure VPU op, but the
+      f32 accumulator round-trips ~9× the activation traffic through HBM.
+    """
+    b, h, w, c = x.shape
+    k = kernel_w.shape[-1]
+    p = padding
+    if k == 1:
+        # 1×1 spatial filter is a per-sample scalar (exact in every impl)
+        return x * kernel_w[:, 0, 0][:, None, None, None]
+    if impl == "shift":
+        oh, ow = h + 2 * p - k + 1, w + 2 * p - k + 1
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        kw = kernel_w.astype(jnp.float32)
+        acc = None
+        for i in range(k):
+            for j in range(k):
+                term = (xp[:, i:i + oh, j:j + ow, :].astype(jnp.float32)
+                        * kw[:, i, j][:, None, None, None])
+                acc = term if acc is None else acc + term
+        return acc.astype(x.dtype)
+    if impl == "dw":
+        def per_sample(xi, ki):
+            kern = jnp.tile(ki[..., None, None], (1, 1, 1, c))
+            return jax.lax.conv_general_dilated(
+                xi[None], kern.astype(xi.dtype), (1, 1), ((p, p), (p, p)),
+                feature_group_count=c,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        return jax.vmap(per_sample)(x, kernel_w)
+
+    def spatial_conv(xi, ki):
+        xi = xi.transpose(2, 0, 1)[..., None]  # (C, H, W, 1)
+        out = jax.lax.conv_general_dilated(
+            xi, ki[..., None, None].astype(xi.dtype), (1, 1),
+            ((p, p),) * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out[..., 0].transpose(1, 2, 0)  # (H, W, C)
+
+    return jax.vmap(spatial_conv)(x, kernel_w)
+
+
 class MDyConv(nn.Module):
     attention_out_c: int
     dy_kernel_size: int = 3
     dy_padding: int = 1
     dy_channel_size: int | None = None
     dtype: Any = jnp.float32
+    impl: str | None = None  # None → env UAVDET_MDYCONV or 'vmap'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -106,17 +161,8 @@ class MDyConv(nn.Module):
 
         # per-sample spatial filter applied to every channel, then
         # per-channel scaling (kernel[b,c] = channel_w[b,c] * kernel_w[b])
-        def spatial_conv(xi, ki):
-            # xi: (H, W, C) treated as C batch items of 1 channel
-            h, w, cc = xi.shape
-            xi = xi.transpose(2, 0, 1)[..., None]  # (C, H, W, 1)
-            out = jax.lax.conv_general_dilated(
-                xi, ki[..., None, None].astype(xi.dtype), (1, 1),
-                ((self.dy_padding, self.dy_padding),) * 2,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return out[..., 0].transpose(1, 2, 0)  # (H, W, C)
-
-        y = jax.vmap(spatial_conv)(x, kernel_w)
+        impl = self.impl or os.environ.get("UAVDET_MDYCONV", "vmap")
+        y = _spatial_dyconv(x, kernel_w, self.dy_padding, impl)
         y = y * channel_w[:, None, None, :]
         return y + residual
 
