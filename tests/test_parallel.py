@@ -112,6 +112,108 @@ def test_sharded_dual_detector_runs(rng):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_sp_train_step_matches_single_device(rng):
+    """Spatial partitioning (image rows sharded over 'sp') must be a pure
+    layout change: one train step agrees with the single-device step, and
+    the partitioner exchanges conv halos (collective-permute) instead of
+    gathering the frames."""
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    tx = build_optimizer(HP)
+    batch = _synthetic_batch(rng, batch=4)
+
+    st1 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+    step1 = make_train_step(model, tx, HP, INPUT)
+    st1, m1 = step1(st1, batch)
+
+    mesh = make_mesh(n_data=2, n_fsdp=1, n_sp=4)
+    st2 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+    sh = state_shardings(st2, mesh, fsdp=False)
+    st2 = jax.tree.map(jax.device_put, st2, sh)
+    _, compile_step = make_sharded_train_step(model, tx, HP, INPUT, mesh,
+                                              spatial=True)
+    step2 = compile_step(st2)
+    batch_s = shard_batch(batch, mesh, spatial=True)
+    assert "sp" in str(batch_s.image.sharding.spec)
+
+    hlo = step2.lower(st2, batch_s).compile().as_text()
+    assert "collective-permute" in hlo  # conv halo exchange really happens
+
+    st2, m2 = step2(st2, batch_s)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+
+def test_sp_detector_matches_single_device(rng):
+    """Row-sharded inference == single-device inference. The input frames
+    live H-sharded on the mesh; results come back batch-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from uavdet_tpu.inference import make_detector
+    from uavdet_tpu.parallel import image_sharding
+
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    x0 = jnp.zeros((4, INPUT, INPUT, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    imgs = (rng.uniform(size=(4, INPUT, INPUT, 3)) * 255).astype(np.uint8)
+
+    det1 = make_detector(model, HP, INPUT, pre_nms_topk=64, max_det=16,
+                         compute_dtype=jnp.float32)
+    d1 = det1(variables, jnp.asarray(imgs))
+
+    mesh = make_mesh(n_data=2, n_fsdp=1, n_sp=4)
+    vars_r = jax.tree.map(
+        lambda v: jax.device_put(v, NamedSharding(mesh, P())), variables)
+    imgs_s = jax.device_put(imgs, image_sharding(mesh, spatial=True))
+    assert imgs_s.addressable_shards[0].data.shape[1] == INPUT // 4
+    det_sp = make_detector(model, HP, INPUT, pre_nms_topk=64, max_det=16,
+                           compute_dtype=jnp.float32, mesh=mesh,
+                           spatial=True)
+    d_sp = det_sp(vars_r, imgs_s)
+
+    np.testing.assert_array_equal(np.asarray(d1.valid), np.asarray(d_sp.valid))
+    np.testing.assert_allclose(np.asarray(d1.boxes), np.asarray(d_sp.boxes),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d1.scores),
+                               np.asarray(d_sp.scores),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sp_dysoem_detector_matches_single_device(rng):
+    """The 1280px-workload model family (DySOEM: space-to-depth fronts,
+    s2d-as-conv SOEMs) under spatial partitioning — the exact scaling
+    case SURVEY §2.6 names (per-chip activation memory ÷ sp)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from uavdet_tpu.inference import make_detector
+    from uavdet_tpu.models import DySOEM_SimFPN
+    from uavdet_tpu.parallel import image_sharding
+    from tests.test_dysoem_training import HP as DHP
+
+    model = DySOEM_SimFPN()
+    size = 64
+    x0 = jnp.zeros((2, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    imgs = (rng.uniform(size=(2, size, size, 3)) * 255).astype(np.uint8)
+
+    det1 = make_detector(model, DHP, size, pre_nms_topk=64, max_det=16,
+                         compute_dtype=jnp.float32)
+    d1 = det1(variables, jnp.asarray(imgs))
+
+    mesh = make_mesh(n_data=2, n_fsdp=1, n_sp=4)
+    vars_r = jax.tree.map(
+        lambda v: jax.device_put(v, NamedSharding(mesh, P())), variables)
+    imgs_s = jax.device_put(imgs, image_sharding(mesh, spatial=True))
+    det_sp = make_detector(model, DHP, size, pre_nms_topk=64, max_det=16,
+                           compute_dtype=jnp.float32, mesh=mesh,
+                           spatial=True)
+    d_sp = det_sp(vars_r, imgs_s)
+
+    np.testing.assert_array_equal(np.asarray(d1.valid), np.asarray(d_sp.valid))
+    np.testing.assert_allclose(np.asarray(d1.boxes), np.asarray(d_sp.boxes),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_fsdp_step_runs(rng):
     model = DyYOLO(layer_config=TINY_DY_CONFIG)
     tx = build_optimizer(HP)

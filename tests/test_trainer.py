@@ -74,6 +74,22 @@ def test_trainer_resume(pipes, tmp_path):
     assert np.isfinite(final["val_loss"])
 
 
+def test_trainer_mesh_config_surface(pipes, tmp_path):
+    """train.trainer.devices=8 with fsdp_devices=2 / sp_devices=2 builds
+    the 2×2×2 data×fsdp×sp mesh and fit() runs sharded end-to-end; a
+    non-factorizable combination raises."""
+    tr, va = pipes
+    cfg = _config(tmp_path, devices=8, fsdp_devices=2, sp_devices=2)
+    t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dvm")))
+    assert dict(t.mesh.shape) == {"data": 2, "fsdp": 2, "sp": 2}
+    final = t.fit()
+    assert np.isfinite(final["val_loss"])
+
+    with pytest.raises(ValueError, match="not divisible"):
+        Trainer(_config(tmp_path, devices=8, sp_devices=3), tr, va,
+                metrics=MetricsWriter(str(tmp_path / "dvm2")))
+
+
 def test_check_val_every_n_epoch(pipes, tmp_path):
     """With check_val_every_n_epoch=2 and 3 epochs, validation runs only
     in epoch 1 (0-indexed) — Lightning semantics (reference train.py:55)."""

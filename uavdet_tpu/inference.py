@@ -291,7 +291,7 @@ def make_detector(model, hparams, input_size: int,
                   nms_iou: float = 0.5, pre_nms_topk: int = 512,
                   max_det: int = 300, compute_dtype=jnp.bfloat16,
                   pallas_stem_variables=None, pallas_stem_interpret=False,
-                  mesh=None, dual=False):
+                  mesh=None, dual=False, spatial=False):
     """Build the jitted end-to-end detector.
 
     Returns ``detect(variables, images) -> Detections``; ``images`` may be
@@ -318,7 +318,13 @@ def make_detector(model, hparams, input_size: int,
     given, the detector is compiled as a pjit program: images batch-sharded
     on 'data', params replicated, results batch-sharded — the inference
     counterpart of ``parallel.make_sharded_train_step`` (the reference has
-    no multi-device inference at all; SURVEY §2.6).
+    no multi-device inference at all; SURVEY §2.6). With ``spatial`` the
+    input frames are additionally row-sharded over the mesh's 'sp' axis
+    and GSPMD spatially partitions the convs (halo exchange), dividing
+    per-chip activation memory by the sp factor — the scaling story for
+    very-high-resolution frames (SURVEY §2.6 / BASELINE config 3). The
+    Pallas stem fast path is single-chip only and is gated off under a
+    mesh (the folded-1×1-stem path is plain XLA and stays available).
     """
     anchors = np.asarray(hparams.anchors, np.float32)
     # note: hparams.bbox_loss_fn no longer matters here — both modes
@@ -327,19 +333,27 @@ def make_detector(model, hparams, input_size: int,
     jit_kw = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if spatial and "sp" not in mesh.axis_names:
+            raise ValueError("spatial=True needs an 'sp' mesh axis "
+                             f"(mesh has {mesh.axis_names})")
+        img_spec = P("data", "sp") if spatial else P("data")
         n_img = 2 if dual else 1
         jit_kw = dict(
             in_shardings=(NamedSharding(mesh, P()),)
-            + (NamedSharding(mesh, P("data")),) * n_img,
+            + (NamedSharding(mesh, img_spec),) * n_img,
             out_shardings=NamedSharding(mesh, P("data")))
+    elif spatial:
+        raise ValueError("spatial=True requires mesh")
 
     stem = None
     # Gate: the kernels emit whole 16-row strips (pallas_l2 needs
     # H % 16 == 0). The quad-parity layout pads all lane widths to
     # 128-multiples INTERNALLY, so — unlike the r2 row-pair-folded
     # layout — there is no %128 width constraint: 608/416/336/512 all
-    # verified bit-exact vs interpret on hardware (r3).
-    _stem_ok = input_size % 16 == 0
+    # verified bit-exact vs interpret on hardware (r3). Mosaic kernels
+    # have no SPMD partitioning rule, so the fast path is single-chip
+    # only (under a mesh the plain-XLA forward is used instead).
+    _stem_ok = input_size % 16 == 0 and mesh is None
     if (pallas_stem_variables is not None and hasattr(model, "layer_config")
             and _stem_ok):
         from .ops.pallas_stem_split import detector_stem_fast_path

@@ -12,9 +12,21 @@ The reference has NO multi-device code (SURVEY §2.6: no DDP/FSDP/TP/PP —
   large conv kernels are sharded on their output-channel axis and XLA
   all-gathers them at use; gradients reduce-scatter back. Enabled with
   ``fsdp_axis_size > 1``.
+* axis ``sp``    — spatial partitioning: activations are sharded on the
+  image-row (H) dimension and GSPMD partitions every convolution
+  spatially, exchanging only the kernel-halo rows between neighbours
+  (``collective-permute`` over ICI — verified in the optimized HLO: the
+  probe program shows 0 all-gathers and one halo exchange per conv
+  operand). This is the scaling axis SURVEY §2.6 names for the 1280px
+  DySOEM workload (BASELINE config 3): per-chip activation memory falls
+  by the sp factor, so resolutions/batches that overflow one chip's HBM
+  run without host-side microbatching. A pure CNN has no sequence dim —
+  ``sp`` IS this model family's sequence-parallel analogue.
 
-Config surface: ``train.trainer.devices`` (reference params.yaml:28) maps
-to the data-axis size; ``accelerator`` picks the platform.
+Config surface: ``train.trainer.devices`` (reference params.yaml:28) is
+the TOTAL mesh size; the TPU-native extras ``train.trainer.fsdp_devices``
+and ``train.trainer.sp_devices`` (both default 1) factor it into
+data × fsdp × sp; ``accelerator`` picks the platform.
 """
 
 from typing import Any
@@ -30,28 +42,49 @@ from ..ops.targets import encode_yolo_targets
 from ..utils.datatypes import BatchData, TrainState
 
 
-def make_mesh(n_data: int | None = None, n_fsdp: int = 1,
+def make_mesh(n_data: int | None = None, n_fsdp: int = 1, n_sp: int = 1,
               devices=None) -> Mesh:
-    """Build a ('data', 'fsdp') mesh. Defaults to all visible devices on
-    the data axis."""
+    """Build a ('data', 'fsdp', 'sp') mesh. Defaults to all visible
+    devices on the data axis; the ``fsdp``/``sp`` axes are size 1 unless
+    requested, so every PartitionSpec can reference them uniformly."""
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_fsdp
-    dev = np.asarray(devices[:n_data * n_fsdp]).reshape(n_data, n_fsdp)
-    return Mesh(dev, axis_names=("data", "fsdp"))
+        n_data = len(devices) // (n_fsdp * n_sp)
+    dev = np.asarray(devices[:n_data * n_fsdp * n_sp]).reshape(
+        n_data, n_fsdp, n_sp)
+    return Mesh(dev, axis_names=("data", "fsdp", "sp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def image_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """NHWC frames: batch over 'data', rows over 'sp' when spatial."""
+    if spatial and "sp" not in mesh.axis_names:
+        raise ValueError("spatial sharding needs an 'sp' mesh axis "
+                         f"(mesh has {mesh.axis_names}); build the mesh "
+                         "with make_mesh(..., n_sp=...)")
+    return NamedSharding(mesh, P("data", "sp") if spatial else P("data"))
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: BatchData, mesh: Mesh) -> BatchData:
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+def batch_shardings(mesh: Mesh, spatial: bool = False) -> BatchData:
+    """Per-field NamedShardings for a BatchData: frames are additionally
+    row-sharded over 'sp' when ``spatial`` (boxes/masks stay batch-only —
+    they carry no spatial dim)."""
+    return BatchData(image=image_sharding(mesh, spatial),
+                     boxes=batch_sharding(mesh),
+                     box_mask=batch_sharding(mesh))
+
+
+def shard_batch(batch: BatchData, mesh: Mesh,
+                spatial: bool = False) -> BatchData:
+    return jax.tree.map(jax.device_put, batch,
+                        batch_shardings(mesh, spatial))
 
 
 def _param_spec(path_leaf, fsdp: bool) -> P:
@@ -87,16 +120,18 @@ def state_shardings(state: TrainState, mesh: Mesh,
 
 
 def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
-                            fsdp: bool = False,
+                            fsdp: bool = False, spatial: bool = False,
                             compute_dtype=jnp.float32,
                             donate: bool = False, remat=False):
-    """DP(+optional FSDP) train step compiled over the mesh.
+    """DP(+optional FSDP/spatial) train step compiled over the mesh.
 
-    The batch arrives sharded on 'data'; params/opt-state live with the
-    shardings from ``state_shardings``. XLA lowers the implied gradient
-    reduction to a psum over ICI. ``donate``/``remat`` mirror
-    ``training.steps.make_train_step`` (in-place state buffers /
-    jax.checkpoint activation recompute).
+    The batch arrives sharded on 'data' (frames additionally row-sharded
+    over 'sp' with ``spatial`` — GSPMD partitions the convs with halo
+    exchanges and the loss/BN reductions psum across both axes);
+    params/opt-state live with the shardings from ``state_shardings``.
+    XLA lowers the implied gradient reduction to a psum over ICI.
+    ``donate``/``remat`` mirror ``training.steps.make_train_step``
+    (in-place state buffers / jax.checkpoint activation recompute).
     """
     anchors = np.asarray(hparams.anchors, np.float32)
     from ..training.steps import _loss_weights
@@ -137,7 +172,7 @@ def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
                       for k in ("loss", "bbox_loss", "obj_loss")}
         return jax.jit(
             step_fn,
-            in_shardings=(st_sh, batch_sharding(mesh)),
+            in_shardings=(st_sh, batch_shardings(mesh, spatial)),
             out_shardings=(st_sh, metrics_sh),
             **({"donate_argnums": (0,)} if donate else {}))
 

@@ -100,14 +100,24 @@ class Trainer:
         self._detector = None  # built lazily ONCE (jit closure reuse)
 
         n_devices = int(tcfg.get("devices", 1) or 1)
+        # TPU-native mesh factorization (absent upstream — the reference's
+        # `devices` is the Lightning count): total = data × fsdp × sp
+        self.n_fsdp = int(tcfg.get("fsdp_devices", 1) or 1)
+        self.n_sp = int(tcfg.get("sp_devices", 1) or 1)
         self.mesh = None
         if n_devices > 1:
             avail = len(jax.devices())
             if avail < n_devices:
                 print(f"WARNING: train.trainer.devices={n_devices} but only "
                       f"{avail} device(s) visible; running single-device")
+            elif n_devices % (self.n_fsdp * self.n_sp):
+                raise ValueError(
+                    f"train.trainer.devices={n_devices} is not divisible by "
+                    f"fsdp_devices*sp_devices={self.n_fsdp * self.n_sp}")
             else:
-                self.mesh = make_mesh(n_data=n_devices)
+                self.mesh = make_mesh(
+                    n_data=n_devices // (self.n_fsdp * self.n_sp),
+                    n_fsdp=self.n_fsdp, n_sp=self.n_sp)
 
         ckpt_cfg = config.train.checkpoint
         self.ckpt = CheckpointManager(
@@ -118,6 +128,7 @@ class Trainer:
         if self.mesh is not None:
             _, compile_step = make_sharded_train_step(
                 self.model, self.tx, hparams, self.input_size, self.mesh,
+                fsdp=self.n_fsdp > 1, spatial=self.n_sp > 1,
                 compute_dtype=self.compute_dtype,
                 donate=not self.nan_guard, remat=self.remat)
             train_step = compile_step(state)
@@ -144,7 +155,7 @@ class Trainer:
                   f"{int(np.asarray(state.step))}")
 
         if self.mesh is not None:
-            sh = state_shardings(state, self.mesh)
+            sh = state_shardings(state, self.mesh, fsdp=self.n_fsdp > 1)
             state = jax.tree.map(jax.device_put, state, sh)
 
         train_step, eval_step = self._build_steps(state)
@@ -167,7 +178,7 @@ class Trainer:
                 if i >= n_train:
                     break
                 if self.mesh is not None:
-                    batch = shard_batch(batch, self.mesh)
+                    batch = shard_batch(batch, self.mesh, spatial=self.n_sp > 1)
                 new_state, m = train_step(state, batch)
                 if self.nan_guard and not np.isfinite(float(m["loss"])):
                     nan_hits += 1
