@@ -214,6 +214,80 @@ def test_sp_dysoem_detector_matches_single_device(rng):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_ep_train_step_matches_single_device(rng):
+    """Expert parallelism: the stacked expert kernels (DyConv's
+    ``experts`` param, E=4 experts on the output-channel axis) shard over
+    'ep'; each device computes a slice of the expert convs and the
+    attention contraction psums. One step agrees with single-device."""
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    tx = build_optimizer(HP)
+    batch = _synthetic_batch(rng, batch=4)
+
+    st1 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+    step1 = make_train_step(model, tx, HP, INPUT)
+    st1, m1 = step1(st1, batch)
+
+    mesh = make_mesh(n_data=4, n_fsdp=1, n_sp=1, n_ep=2)
+    st2 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+    sh = state_shardings(st2, mesh, ep=True)
+    st2 = jax.tree.map(jax.device_put, st2, sh)
+
+    # every DyConv experts kernel is REALLY sharded: half the stacked
+    # channels per ep-shard, in params AND in the optimizer trace
+    def _ep_leaves(tree):
+        return [v for p, v in jax.tree_util.tree_leaves_with_path(tree)
+                if any("experts" in str(getattr(k, "key", k)) for k in p)]
+    for tree in (st2.params, st2.opt_state):
+        leaves = _ep_leaves(tree)
+        assert leaves, "no experts leaves found"
+        for v in leaves:
+            if not hasattr(v, "sharding"):
+                continue
+            assert "ep" in str(v.sharding.spec), v.sharding
+            assert (v.addressable_shards[0].data.shape[-1]
+                    == v.shape[-1] // 2)
+
+    _, compile_step = make_sharded_train_step(model, tx, HP, INPUT, mesh,
+                                              ep=True)
+    st2, m2 = compile_step(st2)(st2, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+
+def test_ep_dysoem_step_runs_odd_expert_count(rng):
+    """DySOEM has E=3 experts; ep=3 gives one whole expert per shard (and
+    the stacked axis shards correctly even when ep doesn't divide E —
+    it's a plain channel axis). Loss must match single-device."""
+    from uavdet_tpu.models import DySOEM_SimFPN
+    from tests.test_dysoem_training import HP as DHP
+
+    model = DySOEM_SimFPN()
+    tx = build_optimizer(DHP)
+    size = 64
+    batch = _synthetic_batch(rng, batch=2)
+
+    st1 = init_state(model, tx, jax.random.key(0), size, batch_size=2)
+    step1 = make_train_step(model, tx, DHP, size)
+    st1, m1 = step1(st1, batch)
+
+    mesh = make_mesh(n_data=2, n_fsdp=1, n_sp=1, n_ep=3)  # uses 6 of 8
+    st2 = init_state(model, tx, jax.random.key(0), size, batch_size=2)
+    sh = state_shardings(st2, mesh, ep=True)
+    st2 = jax.tree.map(jax.device_put, st2, sh)
+    n_ep_sharded = sum(
+        1 for v in jax.tree.leaves(st2.params)
+        if getattr(v.sharding, "spec", None) and "ep" in str(v.sharding.spec))
+    assert n_ep_sharded > 0
+    _, compile_step = make_sharded_train_step(model, tx, DHP, size, mesh,
+                                              ep=True)
+    st2, m2 = compile_step(st2)(st2, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3)
+
+
 def test_fsdp_step_runs(rng):
     model = DyYOLO(layer_config=TINY_DY_CONFIG)
     tx = build_optimizer(HP)

@@ -81,13 +81,20 @@ def test_trainer_mesh_config_surface(pipes, tmp_path):
     tr, va = pipes
     cfg = _config(tmp_path, devices=8, fsdp_devices=2, sp_devices=2)
     t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dvm")))
-    assert dict(t.mesh.shape) == {"data": 2, "fsdp": 2, "sp": 2}
+    assert dict(t.mesh.shape) == {"data": 2, "fsdp": 2, "sp": 2, "ep": 1}
     final = t.fit()
     assert np.isfinite(final["val_loss"])
 
     with pytest.raises(ValueError, match="not divisible"):
         Trainer(_config(tmp_path, devices=8, sp_devices=3), tr, va,
                 metrics=MetricsWriter(str(tmp_path / "dvm2")))
+
+    cfg_ep = _config(tmp_path, devices=8, fsdp_devices=2, ep_devices=2)
+    t_ep = Trainer(cfg_ep, tr, va,
+                   metrics=MetricsWriter(str(tmp_path / "dvm3")))
+    assert dict(t_ep.mesh.shape) == {"data": 2, "fsdp": 2, "sp": 1, "ep": 2}
+    final_ep = t_ep.fit()
+    assert np.isfinite(final_ep["val_loss"])
 
 
 def test_check_val_every_n_epoch(pipes, tmp_path):

@@ -22,11 +22,29 @@ The reference has NO multi-device code (SURVEY §2.6: no DDP/FSDP/TP/PP —
   by the sp factor, so resolutions/batches that overflow one chip's HBM
   run without host-side microbatching. A pure CNN has no sequence dim —
   ``sp`` IS this model family's sequence-parallel analogue.
+* axis ``ep``    — expert parallelism for the dynamic convolutions, this
+  model family's MoE analogue: every DyConv/DySOEM block computes E
+  expert convolutions stacked on the output-channel axis and mixes them
+  with per-sample attention (models/layers.py, models/dysoem_simfpn.py).
+  Sharding the stacked expert kernels (and their optimizer state) on
+  that axis makes each device compute a slice of the experts; the
+  attention contraction over E becomes the psum. Because the stack is a
+  plain channel axis, this is simultaneously the tensor-parallel (TP)
+  form for these layers — the E× expert FLOPs and the E×-wide
+  intermediate shard across chips even when ep does not divide E.
+
+Deliberately absent: pipeline parallelism. The flagship's weights are
+~27 MB — every chip holds them for free (and 'fsdp' already shards them
+if wanted), activations dominate memory and 'sp'/'data' shard those;
+splitting a 20-layer CNN into stages would only add bubble overhead
+with nothing to hide. (The scaling-book recipe: pick the axes the
+workload is actually bound by.)
 
 Config surface: ``train.trainer.devices`` (reference params.yaml:28) is
-the TOTAL mesh size; the TPU-native extras ``train.trainer.fsdp_devices``
-and ``train.trainer.sp_devices`` (both default 1) factor it into
-data × fsdp × sp; ``accelerator`` picks the platform.
+the TOTAL mesh size; the TPU-native extras ``train.trainer.fsdp_devices``,
+``train.trainer.sp_devices`` and ``train.trainer.ep_devices`` (all
+default 1) factor it into data × fsdp × sp × ep; ``accelerator`` picks
+the platform.
 """
 
 from typing import Any
@@ -43,16 +61,16 @@ from ..utils.datatypes import BatchData, TrainState
 
 
 def make_mesh(n_data: int | None = None, n_fsdp: int = 1, n_sp: int = 1,
-              devices=None) -> Mesh:
-    """Build a ('data', 'fsdp', 'sp') mesh. Defaults to all visible
-    devices on the data axis; the ``fsdp``/``sp`` axes are size 1 unless
-    requested, so every PartitionSpec can reference them uniformly."""
+              n_ep: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'fsdp', 'sp', 'ep') mesh. Defaults to all visible
+    devices on the data axis; the other axes are size 1 unless requested,
+    so every PartitionSpec can reference them uniformly."""
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices) // (n_fsdp * n_sp)
-    dev = np.asarray(devices[:n_data * n_fsdp * n_sp]).reshape(
-        n_data, n_fsdp, n_sp)
-    return Mesh(dev, axis_names=("data", "fsdp", "sp"))
+        n_data = len(devices) // (n_fsdp * n_sp * n_ep)
+    n = n_data * n_fsdp * n_sp * n_ep
+    dev = np.asarray(devices[:n]).reshape(n_data, n_fsdp, n_sp, n_ep)
+    return Mesh(dev, axis_names=("data", "fsdp", "sp", "ep"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -87,50 +105,62 @@ def shard_batch(batch: BatchData, mesh: Mesh,
                         batch_shardings(mesh, spatial))
 
 
-def _param_spec(path_leaf, fsdp: bool) -> P:
-    """FSDP rule: shard the largest (last) axis of big kernels across
-    'fsdp'; everything else replicated."""
-    if not fsdp:
+def _param_spec(path, leaf, fsdp: bool, ep_size: int = 1) -> P:
+    """Sharding rules, in precedence order:
+
+    * EP: a leaf living under an ``experts`` module/param (the stacked
+      expert kernels and their biases — DyConvModule's ``experts`` param,
+      DySOEM's ``experts`` submodule) with an 'ep'-divisible last
+      (stacked-channel) axis shards that axis across 'ep'. Optimizer
+      state mirrors it because the optax trace replays the params tree
+      (same dict keys, so the same path match fires).
+    * FSDP: shard the largest (last) axis of big kernels across 'fsdp'.
+    * Everything else replicated.
+    """
+    if not hasattr(leaf, "ndim"):
         return P()
-    leaf = path_leaf
-    if leaf.ndim >= 2 and leaf.shape[-1] % 2 == 0 and leaf.size >= 2**14:
+    if (ep_size > 1 and leaf.ndim >= 1 and leaf.shape[-1] % ep_size == 0
+            and any("experts" in str(getattr(k, "key", k)) for k in path)):
+        return P(*([None] * (leaf.ndim - 1) + ["ep"]))
+    if fsdp and leaf.ndim >= 2 and leaf.shape[-1] % 2 == 0 \
+            and leaf.size >= 2**14:
         return P(*([None] * (leaf.ndim - 1) + ["fsdp"]))
     return P()
 
 
-def state_shardings(state: TrainState, mesh: Mesh,
-                    fsdp: bool = False) -> TrainState:
+def state_shardings(state: TrainState, mesh: Mesh, fsdp: bool = False,
+                    ep: bool = False) -> TrainState:
     """NamedShardings for every leaf of the train state."""
-    def spec_of(leaf):
-        return NamedSharding(mesh, _param_spec(leaf, fsdp))
+    ep_size = dict(mesh.shape).get("ep", 1) if ep else 1
 
-    params_s = jax.tree.map(spec_of, state.params)
-    # optimizer state mirrors param sharding where shapes match
-    def opt_spec(leaf):
-        return NamedSharding(mesh, _param_spec(leaf, fsdp)
-                             if hasattr(leaf, "ndim") else P())
+    def spec_of(path, leaf):
+        return NamedSharding(mesh, _param_spec(path, leaf, fsdp, ep_size))
 
+    tmap = jax.tree_util.tree_map_with_path
     return TrainState(
-        params=params_s,
+        params=tmap(spec_of, state.params),
         batch_stats=jax.tree.map(
             lambda _: NamedSharding(mesh, P()), state.batch_stats),
-        opt_state=jax.tree.map(opt_spec, state.opt_state),
+        # optimizer state mirrors param sharding where paths/shapes match
+        opt_state=tmap(spec_of, state.opt_state),
         step=NamedSharding(mesh, P()),
     )
 
 
 def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
                             fsdp: bool = False, spatial: bool = False,
+                            ep: bool = False,
                             compute_dtype=jnp.float32,
                             donate: bool = False, remat=False):
-    """DP(+optional FSDP/spatial) train step compiled over the mesh.
+    """DP(+optional FSDP/spatial/expert) train step compiled over the mesh.
 
     The batch arrives sharded on 'data' (frames additionally row-sharded
     over 'sp' with ``spatial`` — GSPMD partitions the convs with halo
     exchanges and the loss/BN reductions psum across both axes);
-    params/opt-state live with the shardings from ``state_shardings``.
-    XLA lowers the implied gradient reduction to a psum over ICI.
-    ``donate``/``remat`` mirror ``training.steps.make_train_step``
+    params/opt-state live with the shardings from ``state_shardings``
+    (``ep`` shards the stacked expert kernels — see the module
+    docstring). XLA lowers the implied gradient reduction to a psum over
+    ICI. ``donate``/``remat`` mirror ``training.steps.make_train_step``
     (in-place state buffers / jax.checkpoint activation recompute).
     """
     anchors = np.asarray(hparams.anchors, np.float32)
@@ -167,7 +197,7 @@ def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
                            "obj_loss": lb.obj}
 
     def compile_step(state: TrainState):
-        st_sh = state_shardings(state, mesh, fsdp)
+        st_sh = state_shardings(state, mesh, fsdp, ep)
         metrics_sh = {k: NamedSharding(mesh, P())
                       for k in ("loss", "bbox_loss", "obj_loss")}
         return jax.jit(

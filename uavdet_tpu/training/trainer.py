@@ -104,20 +104,23 @@ class Trainer:
         # `devices` is the Lightning count): total = data × fsdp × sp
         self.n_fsdp = int(tcfg.get("fsdp_devices", 1) or 1)
         self.n_sp = int(tcfg.get("sp_devices", 1) or 1)
+        self.n_ep = int(tcfg.get("ep_devices", 1) or 1)
         self.mesh = None
         if n_devices > 1:
             avail = len(jax.devices())
             if avail < n_devices:
                 print(f"WARNING: train.trainer.devices={n_devices} but only "
                       f"{avail} device(s) visible; running single-device")
-            elif n_devices % (self.n_fsdp * self.n_sp):
+            elif n_devices % (self.n_fsdp * self.n_sp * self.n_ep):
                 raise ValueError(
                     f"train.trainer.devices={n_devices} is not divisible by "
-                    f"fsdp_devices*sp_devices={self.n_fsdp * self.n_sp}")
+                    "fsdp_devices*sp_devices*ep_devices="
+                    f"{self.n_fsdp * self.n_sp * self.n_ep}")
             else:
                 self.mesh = make_mesh(
-                    n_data=n_devices // (self.n_fsdp * self.n_sp),
-                    n_fsdp=self.n_fsdp, n_sp=self.n_sp)
+                    n_data=n_devices // (self.n_fsdp * self.n_sp
+                                         * self.n_ep),
+                    n_fsdp=self.n_fsdp, n_sp=self.n_sp, n_ep=self.n_ep)
 
         ckpt_cfg = config.train.checkpoint
         self.ckpt = CheckpointManager(
@@ -128,7 +131,7 @@ class Trainer:
         if self.mesh is not None:
             _, compile_step = make_sharded_train_step(
                 self.model, self.tx, hparams, self.input_size, self.mesh,
-                fsdp=self.n_fsdp > 1, spatial=self.n_sp > 1,
+                fsdp=self.n_fsdp > 1, spatial=self.n_sp > 1, ep=self.n_ep > 1,
                 compute_dtype=self.compute_dtype,
                 donate=not self.nan_guard, remat=self.remat)
             train_step = compile_step(state)
@@ -155,7 +158,8 @@ class Trainer:
                   f"{int(np.asarray(state.step))}")
 
         if self.mesh is not None:
-            sh = state_shardings(state, self.mesh, fsdp=self.n_fsdp > 1)
+            sh = state_shardings(state, self.mesh, fsdp=self.n_fsdp > 1,
+                                 ep=self.n_ep > 1)
             state = jax.tree.map(jax.device_put, state, sh)
 
         train_step, eval_step = self._build_steps(state)
