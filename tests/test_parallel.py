@@ -227,7 +227,7 @@ def test_ep_train_step_matches_single_device(rng):
     step1 = make_train_step(model, tx, HP, INPUT)
     st1, m1 = step1(st1, batch)
 
-    mesh = make_mesh(n_data=4, n_fsdp=1, n_sp=1, n_ep=2)
+    mesh = make_mesh(n_data=2, n_fsdp=1, n_sp=1, n_ep=2)
     st2 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
     sh = state_shardings(st2, mesh, ep=True)
     st2 = jax.tree.map(jax.device_put, st2, sh)
@@ -267,14 +267,14 @@ def test_ep_dysoem_step_runs_odd_expert_count(rng):
     model = DySOEM_SimFPN()
     tx = build_optimizer(DHP)
     size = 64
-    batch = _synthetic_batch(rng, batch=2)
+    batch = _synthetic_batch(rng, batch=3)
 
-    st1 = init_state(model, tx, jax.random.key(0), size, batch_size=2)
+    st1 = init_state(model, tx, jax.random.key(0), size, batch_size=3)
     step1 = make_train_step(model, tx, DHP, size)
     st1, m1 = step1(st1, batch)
 
-    mesh = make_mesh(n_data=2, n_fsdp=1, n_sp=1, n_ep=3)  # uses 6 of 8
-    st2 = init_state(model, tx, jax.random.key(0), size, batch_size=2)
+    mesh = make_mesh(n_data=1, n_fsdp=1, n_sp=1, n_ep=3)  # uses 3 of 8
+    st2 = init_state(model, tx, jax.random.key(0), size, batch_size=3)
     sh = state_shardings(st2, mesh, ep=True)
     st2 = jax.tree.map(jax.device_put, st2, sh)
     n_ep_sharded = sum(
@@ -286,6 +286,47 @@ def test_ep_dysoem_step_runs_odd_expert_count(rng):
     st2, m2 = compile_step(st2)(st2, shard_batch(batch, mesh))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-3)
+
+
+def test_all_axes_combined_step_matches_single_device(rng):
+    """Every mesh axis ≥2 at once — data-group(fsdp)=2 × sp=2 × ep=2 on 8
+    devices: the batch shards over the ZeRO group (data×fsdp×ep), frames
+    are row-sharded, expert kernels EP-sharded, in ONE program. One step
+    agrees with single-device (the capstone composition check). FSDP
+    *param sharding* is deliberately off — combined with 'sp' it trips a
+    measured XLA GSPMD miscompilation (scripts/gspmd_fsdp_sp_repro.py);
+    the fsdp axis still carries batch shards."""
+    import pytest
+
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    tx = build_optimizer(HP)
+    batch = _synthetic_batch(rng, batch=4)
+
+    st1 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+    step1 = make_train_step(model, tx, HP, INPUT)
+    st1, m1 = step1(st1, batch)
+
+    mesh = make_mesh(n_data=1, n_fsdp=2, n_sp=2, n_ep=2)
+    st2 = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+    sh = state_shardings(st2, mesh, fsdp=False, ep=True)
+    st2 = jax.tree.map(jax.device_put, st2, sh)
+    specs = {str(v.sharding.spec) for v in jax.tree.leaves(st2.params)
+             if hasattr(v, "sharding")}
+    assert any("ep" in s for s in specs)
+
+    _, compile_step = make_sharded_train_step(
+        model, tx, HP, INPUT, mesh, fsdp=False, spatial=True, ep=True)
+    st2, m2 = compile_step(st2)(st2, shard_batch(batch, mesh, spatial=True))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+    # the unsupported composition is rejected loudly, not silently wrong
+    with pytest.raises(ValueError, match="GSPMD"):
+        make_sharded_train_step(model, tx, HP, INPUT, mesh,
+                                fsdp=True, spatial=True)
 
 
 def test_fsdp_step_runs(rng):

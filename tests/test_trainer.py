@@ -75,13 +75,14 @@ def test_trainer_resume(pipes, tmp_path):
 
 
 def test_trainer_mesh_config_surface(pipes, tmp_path):
-    """train.trainer.devices=8 with fsdp_devices=2 / sp_devices=2 builds
-    the 2×2×2 data×fsdp×sp mesh and fit() runs sharded end-to-end; a
-    non-factorizable combination raises."""
+    """train.trainer.devices=8 with fsdp_devices=2 builds the 4×2
+    data×fsdp mesh and fit() runs sharded end-to-end; a non-factorizable
+    combination raises; a batch that doesn't divide the ZeRO batch group
+    (data×fsdp×ep) raises; the unsupported fsdp×sp combination raises."""
     tr, va = pipes
-    cfg = _config(tmp_path, devices=8, fsdp_devices=2, sp_devices=2)
+    cfg = _config(tmp_path, devices=2, fsdp_devices=2)
     t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dvm")))
-    assert dict(t.mesh.shape) == {"data": 2, "fsdp": 2, "sp": 2, "ep": 1}
+    assert dict(t.mesh.shape) == {"data": 1, "fsdp": 2, "sp": 1, "ep": 1}
     final = t.fit()
     assert np.isfinite(final["val_loss"])
 
@@ -89,10 +90,21 @@ def test_trainer_mesh_config_surface(pipes, tmp_path):
         Trainer(_config(tmp_path, devices=8, sp_devices=3), tr, va,
                 metrics=MetricsWriter(str(tmp_path / "dvm2")))
 
-    cfg_ep = _config(tmp_path, devices=8, fsdp_devices=2, ep_devices=2)
+    # batch_size=2 can't shard over data*fsdp*ep = 8
+    with pytest.raises(ValueError, match="batch_size"):
+        Trainer(_config(tmp_path, devices=8, fsdp_devices=4), tr, va,
+                metrics=MetricsWriter(str(tmp_path / "dvm2b")))
+
+    # fsdp param sharding × spatial partitioning: measured XLA GSPMD
+    # miscompilation (scripts/gspmd_fsdp_sp_repro.py) — rejected loudly
+    with pytest.raises(ValueError, match="GSPMD"):
+        Trainer(_config(tmp_path, devices=8, fsdp_devices=2, sp_devices=2),
+                tr, va, metrics=MetricsWriter(str(tmp_path / "dvm2c")))
+
+    cfg_ep = _config(tmp_path, devices=8, sp_devices=4, ep_devices=2)
     t_ep = Trainer(cfg_ep, tr, va,
                    metrics=MetricsWriter(str(tmp_path / "dvm3")))
-    assert dict(t_ep.mesh.shape) == {"data": 2, "fsdp": 2, "sp": 1, "ep": 2}
+    assert dict(t_ep.mesh.shape) == {"data": 1, "fsdp": 1, "sp": 4, "ep": 2}
     final_ep = t_ep.fit()
     assert np.isfinite(final_ep["val_loss"])
 

@@ -336,12 +336,15 @@ def make_detector(model, hparams, input_size: int,
         if spatial and "sp" not in mesh.axis_names:
             raise ValueError("spatial=True needs an 'sp' mesh axis "
                              f"(mesh has {mesh.axis_names})")
-        img_spec = P("data", "sp") if spatial else P("data")
+        from .parallel.mesh import BATCH_AXES
+        # batch over the full ZeRO group (data×fsdp×ep): on a training
+        # mesh with fsdp/ep axes, inference parallelizes over them too
+        img_spec = P(BATCH_AXES, "sp") if spatial else P(BATCH_AXES)
         n_img = 2 if dual else 1
         jit_kw = dict(
             in_shardings=(NamedSharding(mesh, P()),)
             + (NamedSharding(mesh, img_spec),) * n_img,
-            out_shardings=NamedSharding(mesh, P("data")))
+            out_shardings=NamedSharding(mesh, P(BATCH_AXES)))
     elif spatial:
         raise ValueError("spatial=True requires mesh")
 

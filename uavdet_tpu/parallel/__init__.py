@@ -1,5 +1,6 @@
 from .mesh import (
     make_mesh,
+    batch_group_size,
     batch_sharding,
     batch_shardings,
     image_sharding,

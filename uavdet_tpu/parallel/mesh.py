@@ -11,7 +11,11 @@ The reference has NO multi-device code (SURVEY §2.6: no DDP/FSDP/TP/PP —
 * axis ``fsdp``  — optional parameter sharding (ZeRO/FSDP equivalent):
   large conv kernels are sharded on their output-channel axis and XLA
   all-gathers them at use; gradients reduce-scatter back. Enabled with
-  ``fsdp_axis_size > 1``.
+  ``fsdp_axis_size > 1``. ZeRO convention: the batch dim ALSO shards
+  over 'fsdp' (see ``BATCH_AXES``) — fsdp devices are data-parallel
+  workers that happen to store only a slice of the params. Cannot be
+  combined with 'sp' (measured XLA GSPMD miscompilation —
+  ``check_layout_supported``).
 * axis ``sp``    — spatial partitioning: activations are sharded on the
   image-row (H) dimension and GSPMD partitions every convolution
   spatially, exchanging only the kernel-halo rows between neighbours
@@ -31,7 +35,9 @@ The reference has NO multi-device code (SURVEY §2.6: no DDP/FSDP/TP/PP —
   attention contraction over E becomes the psum. Because the stack is a
   plain channel axis, this is simultaneously the tensor-parallel (TP)
   form for these layers — the E× expert FLOPs and the E×-wide
-  intermediate shard across chips even when ep does not divide E.
+  intermediate shard across chips even when ep does not divide E. The
+  batch dim also shards over 'ep' (``BATCH_AXES``), so ep devices stay
+  data-parallel for the non-expert layers.
 
 Deliberately absent: pipeline parallelism. The flagship's weights are
 ~27 MB — every chip holds them for free (and 'fsdp' already shards them
@@ -73,17 +79,40 @@ def make_mesh(n_data: int | None = None, n_fsdp: int = 1, n_sp: int = 1,
     return Mesh(dev, axis_names=("data", "fsdp", "sp", "ep"))
 
 
+# The batch dim shards over ALL non-spatial axes (ZeRO convention: 'fsdp'
+# and 'ep' devices are data-parallel too; params shard over their axis and
+# gradients reduce-scatter back). This is both the standard design AND a
+# correctness requirement: leaving the batch replicated across a ≥2-sized
+# mesh axis while activations are 'sp'-row-sharded trips an XLA GSPMD
+# mis-reduction (jax 0.9.0) where conv KERNEL gradients come back scaled
+# by the replication degree — forward losses match, updates are wrong.
+# Minimal repro: a lone 3×3 SAME conv, x at P(('data',), 'sp') on a mesh
+# with an unused fsdp=2 axis → dL/dk exactly 2× (tested in
+# tests/test_parallel.py::test_all_axes_combined_step_matches_single_device,
+# which fails under the old layout). Batch-grouping every non-spatial axis
+# removes the partial replication that triggers it.
+BATCH_AXES = ("data", "fsdp", "ep")
+
+
+def batch_group_size(mesh: Mesh) -> int:
+    """Number of ways the batch dim is sharded (data × fsdp × ep)."""
+    shape = dict(mesh.shape)
+    return int(np.prod([shape.get(a, 1) for a in BATCH_AXES]))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+    return NamedSharding(mesh, P(BATCH_AXES))
 
 
 def image_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
-    """NHWC frames: batch over 'data', rows over 'sp' when spatial."""
+    """NHWC frames: batch over the ZeRO group, rows over 'sp' when
+    spatial."""
     if spatial and "sp" not in mesh.axis_names:
         raise ValueError("spatial sharding needs an 'sp' mesh axis "
                          f"(mesh has {mesh.axis_names}); build the mesh "
                          "with make_mesh(..., n_sp=...)")
-    return NamedSharding(mesh, P("data", "sp") if spatial else P("data"))
+    return NamedSharding(mesh, P(BATCH_AXES, "sp") if spatial
+                         else P(BATCH_AXES))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
@@ -147,6 +176,31 @@ def state_shardings(state: TrainState, mesh: Mesh, fsdp: bool = False,
     )
 
 
+def check_layout_supported(mesh: Mesh, fsdp: bool, spatial: bool) -> None:
+    """Reject FSDP param sharding combined with spatial partitioning.
+
+    XLA GSPMD (jax 0.9.0) miscompiles the backward of convolutions whose
+    kernel is sharded on a channel axis while the input rows are sharded
+    over 'sp': kernel gradients come back wrong by O(100×) at float64
+    (so it is a miscompilation, not reassociation noise) while the
+    forward loss matches. Measured on the full DyYOLO graph —
+    scripts/gspmd_fsdp_sp_repro.py; both output- and input-channel kernel
+    sharding are affected. Every other composition is verified exact at
+    f64: data, fsdp (no sp), sp, ep, data×fsdp, data×ep, sp×ep, and
+    fsdp-as-pure-batch-axis (fsdp=False with fsdp mesh dim >1, which the
+    ZeRO batch grouping makes useful). Re-run the repro after a jax
+    upgrade to lift this."""
+    shape = dict(mesh.shape)
+    if fsdp and spatial and shape.get("fsdp", 1) > 1 and shape.get("sp", 1) > 1:
+        raise ValueError(
+            "FSDP param sharding cannot be combined with spatial ('sp') "
+            "partitioning: XLA GSPMD miscompiles sharded-kernel conv "
+            "gradients under row-sharded activations (verified at f64, "
+            "see scripts/gspmd_fsdp_sp_repro.py). Use sp with replicated "
+            "params (the fsdp mesh axis still carries batch shards), or "
+            "fsdp without sp.")
+
+
 def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
                             fsdp: bool = False, spatial: bool = False,
                             ep: bool = False,
@@ -163,6 +217,7 @@ def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
     ICI. ``donate``/``remat`` mirror ``training.steps.make_train_step``
     (in-place state buffers / jax.checkpoint activation recompute).
     """
+    check_layout_supported(mesh, fsdp, spatial)
     anchors = np.asarray(hparams.anchors, np.float32)
     from ..training.steps import _loss_weights
     weights = _loss_weights(hparams)

@@ -17,7 +17,8 @@ import numpy as np
 
 from ..models import build_model
 from ..parallel import make_mesh, make_sharded_train_step, shard_batch
-from ..parallel.mesh import state_shardings
+from ..parallel.mesh import (batch_group_size, check_layout_supported,
+                             state_shardings)
 from ..utils.datatypes import TrainState
 from .checkpoint import CheckpointManager
 from .dvclive_io import MetricsWriter
@@ -121,6 +122,18 @@ class Trainer:
                     n_data=n_devices // (self.n_fsdp * self.n_sp
                                          * self.n_ep),
                     n_fsdp=self.n_fsdp, n_sp=self.n_sp, n_ep=self.n_ep)
+                # fail at construction, not first step (fsdp×sp is a
+                # measured XLA GSPMD miscompilation — see parallel.mesh)
+                check_layout_supported(self.mesh, fsdp=self.n_fsdp > 1,
+                                       spatial=self.n_sp > 1)
+                grp = batch_group_size(self.mesh)
+                bs = int(config.dataset.batch_size)
+                if bs % grp:
+                    raise ValueError(
+                        f"dataset.batch_size={bs} must be divisible by "
+                        f"data*fsdp*ep={grp} (the batch dim shards over "
+                        "every non-spatial mesh axis — ZeRO convention, "
+                        "see parallel.mesh.BATCH_AXES)")
 
         ckpt_cfg = config.train.checkpoint
         self.ckpt = CheckpointManager(
