@@ -329,6 +329,62 @@ def test_all_axes_combined_step_matches_single_device(rng):
                                 fsdp=True, spatial=True)
 
 
+def test_sp_ep_grads_exact_at_f64(rng):
+    """f64 gradient parity for the sp×ep layout on a config exercising
+    BOTH DyConv variants (3×3 stacked-expert conv+contraction AND the
+    1×1 mix-first einsum). Rationale: f32 parity at loose tolerance can
+    hide real GSPMD miscompilations behind reassociation noise — the two
+    bugs fixed in parallel/mesh.py (BATCH_AXES grouping, fsdp×sp
+    rejection) produced matching losses and only f64 gradient parity
+    separated bug from noise (scripts/gspmd_fsdp_sp_repro.py). The model
+    must be built with dtype=f64: the layers' compute dtype defaults to
+    f32 regardless of x64 mode."""
+    import jax.numpy as jnp
+    from uavdet_tpu.ops.losses import yolo_loss
+    from uavdet_tpu.ops.targets import encode_yolo_targets
+    from uavdet_tpu.parallel.mesh import batch_shardings
+    from uavdet_tpu.training.steps import _loss_weights
+
+    cfg = TINY_DY_CONFIG[:2] + (("DyConv", 16, 1, 1),) + TINY_DY_CONFIG[2:]
+    with jax.enable_x64(True):
+        model = DyYOLO(layer_config=cfg, dtype=jnp.float64)
+        tx = build_optimizer(HP)
+        cast = (lambda v: v.astype(jnp.float64) if hasattr(v, "dtype")
+                and jnp.issubdtype(v.dtype, jnp.floating) else v)
+        batch = jax.tree.map(cast, _synthetic_batch(rng, batch=4))
+        st = jax.tree.map(cast, init_state(
+            model, tx, jax.random.key(0), INPUT, batch_size=4))
+        anchors = np.asarray(HP.anchors, np.float64)
+        weights = _loss_weights(HP)
+
+        def loss_fn(params, batch_stats, b):
+            outs, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, b.image,
+                train=True, mutable=["batch_stats"])
+            scales = tuple(INPUT // o.obj.shape[2] for o in outs)
+            grids = encode_yolo_targets(b.boxes, b.box_mask, anchors,
+                                        scales, INPUT)
+            return yolo_loss(outs, grids, anchors, scales, **weights).total
+
+        g1 = jax.jit(jax.grad(loss_fn))(st.params, st.batch_stats, batch)
+
+        mesh = make_mesh(n_data=2, n_fsdp=1, n_sp=2, n_ep=2)
+        sh = state_shardings(st, mesh, ep=True)
+        st2 = jax.tree.map(jax.device_put, st, sh)
+        g2 = jax.jit(jax.grad(loss_fn),
+                     in_shardings=(sh.params, sh.batch_stats,
+                                   batch_shardings(mesh, spatial=True)))(
+            st2.params, st2.batch_stats,
+            shard_batch(batch, mesh, spatial=True))
+
+        for (p, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g1),
+                                  jax.tree_util.tree_leaves_with_path(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(float(np.max(np.abs(a))), 1e-9)
+            assert float(np.max(np.abs(a - b))) / scale < 1e-6, \
+                f"{jax.tree_util.keystr(p)}: rel diff exceeds f64 noise"
+
+
 def test_fsdp_step_runs(rng):
     model = DyYOLO(layer_config=TINY_DY_CONFIG)
     tx = build_optimizer(HP)

@@ -316,7 +316,8 @@ def make_detector(model, hparams, input_size: int,
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis. When
     given, the detector is compiled as a pjit program: images batch-sharded
-    on 'data', params replicated, results batch-sharded — the inference
+    over the ZeRO group (``parallel.mesh.BATCH_AXES`` — data×fsdp×ep),
+    params replicated, results batch-sharded — the inference
     counterpart of ``parallel.make_sharded_train_step`` (the reference has
     no multi-device inference at all; SURVEY §2.6). With ``spatial`` the
     input frames are additionally row-sharded over the mesh's 'sp' axis

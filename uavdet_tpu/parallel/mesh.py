@@ -208,7 +208,7 @@ def make_sharded_train_step(model, tx, hparams, input_size: int, mesh: Mesh,
                             donate: bool = False, remat=False):
     """DP(+optional FSDP/spatial/expert) train step compiled over the mesh.
 
-    The batch arrives sharded on 'data' (frames additionally row-sharded
+    The batch arrives sharded over the ZeRO group (frames additionally row-sharded
     over 'sp' with ``spatial`` — GSPMD partitions the convs with halo
     exchanges and the loss/BN reductions psum across both axes);
     params/opt-state live with the shardings from ``state_shardings``
