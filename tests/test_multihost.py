@@ -1,0 +1,140 @@
+"""Multi-host runtime tests (parallel/multihost.py).
+
+The real thing, not a mock: a 2-process jax.distributed cluster on
+localhost (gRPC DCN), each process owning 2 virtual CPU devices → a
+global 4-device mesh. Each worker runs one sharded train step on the
+same deterministic batch and prints its loss + a param fingerprint; the
+test asserts (a) both processes agree bitwise and (b) they match the
+single-device step computed in-process.
+
+Single-process degradation (shard_host_batch == shard_batch) is covered
+in-process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uavdet_tpu.models import DyYOLO
+from uavdet_tpu.parallel import make_mesh, make_sharded_train_step, \
+    shard_host_batch
+from uavdet_tpu.parallel.mesh import state_shardings
+from uavdet_tpu.training import build_optimizer, init_state, make_train_step
+from tests.test_models import TINY_DY_CONFIG
+from tests.test_train_step import HP, INPUT, _synthetic_batch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+from uavdet_tpu.parallel import init_multihost
+coord, pid = sys.argv[1], int(sys.argv[2])
+init_multihost(coordinator=coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, len(jax.devices())
+
+import numpy as np
+import jax.numpy as jnp
+from uavdet_tpu.models import DyYOLO
+from uavdet_tpu.parallel import (make_mesh, make_sharded_train_step,
+                                 shard_host_batch)
+from uavdet_tpu.parallel.mesh import state_shardings
+from uavdet_tpu.training import build_optimizer, init_state
+from tests.test_models import TINY_DY_CONFIG
+from tests.test_train_step import HP, INPUT, _synthetic_batch
+
+model = DyYOLO(layer_config=TINY_DY_CONFIG)
+tx = build_optimizer(HP)
+batch = _synthetic_batch(np.random.default_rng(211), batch=4)  # global
+mesh = make_mesh(n_data=2, n_sp=2)  # 4 global devices, 2 per host
+st = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+sh = state_shardings(st, mesh)
+# params replicated: device_put works per-host on addressable replicas
+st = jax.tree.map(lambda x, s: jax.make_array_from_callback(
+    np.shape(x), s, lambda idx, _x=np.asarray(x): _x[idx]), st, sh)
+_, compile_step = make_sharded_train_step(model, tx, HP, INPUT, mesh,
+                                          spatial=True)
+st, m = compile_step(st)(st, shard_host_batch(batch, mesh, spatial=True))
+from jax.experimental import multihost_utils
+loss = float(m["loss"])
+# param fingerprint from this host's addressable shards (params are
+# replicated so both hosts see every leaf)
+fp = float(sum(np.abs(np.asarray(v.addressable_shards[0].data)).sum()
+               for v in jax.tree.leaves(st.params)))
+print(f"WORKER{pid} loss={loss:.10f} fp={fp:.6f}", flush=True)
+multihost_utils.sync_global_devices("done")
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_shard_host_batch_single_process_matches_shard_batch(rng):
+    from uavdet_tpu.parallel import shard_batch
+    batch = _synthetic_batch(rng, batch=4)
+    mesh = make_mesh(n_data=2, n_fsdp=1, n_sp=2)
+    a = shard_host_batch(batch, mesh, spatial=True)
+    b = shard_batch(batch, mesh, spatial=True)
+    assert a.image.sharding == b.image.sharding
+    np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+
+
+def test_two_process_cluster_matches_single_device(rng, tmp_path):
+    """2 real processes × 2 virtual CPU devices, data×sp mesh over 4
+    global devices: one sharded train step agrees across hosts AND with
+    the single-device step."""
+    # single-device oracle (in-process, 8-dev platform but unsharded step)
+    model = DyYOLO(layer_config=TINY_DY_CONFIG)
+    tx = build_optimizer(HP)
+    batch = _synthetic_batch(np.random.default_rng(211), batch=4)
+    st = init_state(model, tx, jax.random.key(0), INPUT, batch_size=4)
+    st, m = make_train_step(model, tx, HP, INPUT)(st, batch)
+    ref_loss = float(m["loss"])
+    ref_fp = float(sum(np.abs(np.asarray(v)).sum()
+                       for v in jax.tree.leaves(st.params)))
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+
+    import re
+    rows = {}
+    for out in outs:
+        m2 = re.search(r"WORKER(\d) loss=([0-9.]+) fp=([0-9.]+)", out)
+        assert m2, out[-3000:]
+        rows[int(m2.group(1))] = (float(m2.group(2)), float(m2.group(3)))
+    assert set(rows) == {0, 1}
+    # bitwise agreement across hosts (same program, same global data)
+    assert rows[0] == rows[1], rows
+    # parity with the single-device step
+    np.testing.assert_allclose(rows[0][0], ref_loss, rtol=1e-3)
+    np.testing.assert_allclose(rows[0][1], ref_fp, rtol=1e-3)

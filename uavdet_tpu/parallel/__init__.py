@@ -8,3 +8,4 @@ from .mesh import (
     shard_batch,
     make_sharded_train_step,
 )
+from .multihost import init_multihost, shard_host_batch

@@ -47,6 +47,17 @@ class CheckpointManager:
                 else value > self.best_value)
 
     def _save(self, state: TrainState, path: str):
+        if _HAS_ORBAX and jax.process_count() > 1:
+            # multi-host: Orbax writes each host's addressable shards
+            # natively; a numpy gather would touch non-addressable ones
+            from jax.experimental import multihost_utils
+            if jax.process_index() == 0 and os.path.exists(path):
+                shutil.rmtree(path)
+            multihost_utils.sync_global_devices("uavdet_ckpt_rm")
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, state)
+            ckptr.wait_until_finished()
+            return
         state = jax.tree.map(np.asarray, state)
         if os.path.exists(path):
             shutil.rmtree(path)

@@ -19,6 +19,7 @@ from ..models import build_model
 from ..parallel import make_mesh, make_sharded_train_step, shard_batch
 from ..parallel.mesh import (batch_group_size, check_layout_supported,
                              state_shardings)
+from ..parallel.multihost import init_multihost, shard_host_batch
 from ..utils.datatypes import TrainState
 from .checkpoint import CheckpointManager
 from .dvclive_io import MetricsWriter
@@ -99,6 +100,14 @@ class Trainer:
             grad_clip_val=tcfg.get("grad_clip_val"),
             steps_per_epoch=steps_per_epoch)
         self._detector = None  # built lazily ONCE (jit closure reuse)
+
+        # multi-host (pod-scale) runtime: rendezvous BEFORE counting
+        # devices so jax.devices() is the global set (parallel/multihost)
+        self.multihost = bool(tcfg.get("multihost", False))
+        if self.multihost:
+            init_multihost(coordinator=tcfg.get("coordinator"),
+                           num_processes=tcfg.get("num_processes"),
+                           process_id=tcfg.get("process_id"))
 
         n_devices = int(tcfg.get("devices", 1) or 1)
         # TPU-native mesh factorization (absent upstream — the reference's
@@ -195,7 +204,11 @@ class Trainer:
                 if i >= n_train:
                     break
                 if self.mesh is not None:
-                    batch = shard_batch(batch, self.mesh, spatial=self.n_sp > 1)
+                    batch = (shard_host_batch(batch, self.mesh,
+                                              spatial=self.n_sp > 1)
+                             if self.multihost else
+                             shard_batch(batch, self.mesh,
+                                         spatial=self.n_sp > 1))
                 new_state, m = train_step(state, batch)
                 if self.nan_guard and not np.isfinite(float(m["loss"])):
                     nan_hits += 1
