@@ -66,6 +66,9 @@ st = jax.tree.map(lambda x, s: jax.make_array_from_callback(
     np.shape(x), s, lambda idx, _x=np.asarray(x): _x[idx]), st, sh)
 _, compile_step = make_sharded_train_step(model, tx, HP, INPUT, mesh,
                                           spatial=True)
+from uavdet_tpu.parallel import local_batch_rows
+rows = sorted(local_batch_rows(mesh, 4, spatial=True))
+print(f"ROWS{pid} {rows}", flush=True)
 st, m = compile_step(st)(st, shard_host_batch(batch, mesh, spatial=True))
 from jax.experimental import multihost_utils
 loss = float(m["loss"])
@@ -76,6 +79,71 @@ fp = float(sum(np.abs(np.asarray(v.addressable_shards[0].data)).sum()
 print(f"WORKER{pid} loss={loss:.10f} fp={fp:.6f}", flush=True)
 multihost_utils.sync_global_devices("done")
 """
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    from uavdet_tpu.data import make_synthetic_dataset
+    root = tmp_path_factory.mktemp("antiuav_mh")
+    return make_synthetic_dataset(str(root), splits=("train",), n_seq=2,
+                                  n_frames=8, img_size=96)
+
+
+def _records(dataset_root):
+    from uavdet_tpu.data import build_index
+    return build_index(os.path.join(dataset_root, "train"), seed=11)
+
+
+@pytest.mark.parametrize("train,workers", [(True, 1), (True, 2), (False, 1)])
+def test_sharded_decode_parity_full_rows(dataset_root, train, workers):
+    """local_rows covering EVERY row must reproduce the normal pipeline
+    bitwise — geometry pass, RNG convention, pixel path all line up."""
+    from uavdet_tpu.data import DataPipeline
+    recs = _records(dataset_root)
+    kw = dict(input_size=64, batch_size=4, train=train, seed=5,
+              workers=workers)
+    ref = [jax.device_get(b) for b in DataPipeline(recs, **kw)]
+    pipe = DataPipeline(recs, **kw)
+    assert pipe.set_local_rows(range(4))
+    pipe.device_prefetch = False
+    got = list(pipe._batches())
+    assert len(got) == len(ref) > 0
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a.image, b.image)
+        np.testing.assert_array_equal(a.boxes, b.boxes)
+        np.testing.assert_array_equal(a.box_mask, b.box_mask)
+
+
+def test_sharded_decode_skips_unowned_rows(dataset_root):
+    """local_rows={0,1}: those rows match the normal pipeline, rows 2-3
+    stay zero (never decoded); boxes/mask stay globally exact."""
+    from uavdet_tpu.data import DataPipeline
+    recs = _records(dataset_root)
+    kw = dict(input_size=64, batch_size=4, train=True, seed=5)
+    ref = [jax.device_get(b) for b in DataPipeline(recs, **kw)]
+    pipe = DataPipeline(recs, **kw)
+    assert pipe.set_local_rows({0, 1})
+    for a, b in zip(pipe._batches(), ref):
+        np.testing.assert_array_equal(a.image[:2], b.image[:2])
+        assert not a.image[2:].any()
+        assert b.image[2:].any()  # the reference rows are real pixels
+        np.testing.assert_array_equal(a.boxes, b.boxes)
+        np.testing.assert_array_equal(a.box_mask, b.box_mask)
+
+
+def test_set_local_rows_refuses_mosaic_and_remote(dataset_root):
+    from uavdet_tpu.data import DataPipeline
+    recs = _records(dataset_root)
+    pipe = DataPipeline(recs, input_size=64, batch_size=4, train=True,
+                        mosaic=True)
+    assert not pipe.set_local_rows({0})
+    assert pipe.local_rows is None
+
+
+def test_local_batch_rows_single_process_owns_all():
+    from uavdet_tpu.parallel import local_batch_rows
+    mesh = make_mesh(n_data=2, n_sp=2)
+    assert local_batch_rows(mesh, 8, spatial=True) == frozenset(range(8))
 
 
 def _free_port():
@@ -135,6 +203,11 @@ def test_two_process_cluster_matches_single_device(rng, tmp_path):
     assert set(rows) == {0, 1}
     # bitwise agreement across hosts (same program, same global data)
     assert rows[0] == rows[1], rows
+    # each host owns a disjoint half of the batch rows (sharded decode)
+    owned = {int(m3.group(1)): eval(m3.group(2)) for out in outs
+             if (m3 := re.search(r"ROWS(\d) (\[[0-9, ]*\])", out))}
+    assert sorted(owned[0] + owned[1]) == [0, 1, 2, 3], owned
+    assert set(owned[0]).isdisjoint(owned[1]), owned
     # parity with the single-device step
     np.testing.assert_allclose(rows[0][0], ref_loss, rtol=1e-3)
     np.testing.assert_allclose(rows[0][1], ref_fp, rtol=1e-3)

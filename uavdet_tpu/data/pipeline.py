@@ -61,13 +61,9 @@ def _affine_matrix(rng: np.random.Generator, size: int) -> np.ndarray:
     return np.concatenate([lin, offset[:, None]], axis=1)  # (2, 3)
 
 
-def _apply_affine(img: np.ndarray, boxes: np.ndarray,
-                  mat: np.ndarray) -> tuple:
-    import cv2
-    size = img.shape[0]
-    out = cv2.warpAffine(img, mat, (size, size),
-                         flags=cv2.INTER_LINEAR,
-                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+def _affine_boxes(boxes: np.ndarray, mat: np.ndarray,
+                  size: int) -> np.ndarray:
+    """Corner-transform AABBs under the affine (pixel-free box path)."""
     if len(boxes):
         corners = np.stack([
             boxes[:, [0, 1]], boxes[:, [2, 1]],
@@ -75,7 +71,17 @@ def _apply_affine(img: np.ndarray, boxes: np.ndarray,
         t = corners @ mat[:, :2].T + mat[:, 2]
         boxes = np.concatenate([t.min(axis=1), t.max(axis=1)], axis=-1)
         boxes = boxes.clip(0, size - 1e-3)
-    return out, boxes
+    return boxes
+
+
+def _apply_affine(img: np.ndarray, boxes: np.ndarray,
+                  mat: np.ndarray) -> tuple:
+    import cv2
+    size = img.shape[0]
+    out = cv2.warpAffine(img, mat, (size, size),
+                         flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    return out, _affine_boxes(boxes, mat, size)
 
 
 def _resize(img: np.ndarray, boxes: np.ndarray, size: int) -> tuple:
@@ -152,6 +158,32 @@ class DataPipeline:
         self.fmt = fmt
         self.transform = make_transform(input_size, train)
         self._epoch = 0
+        # multi-host sharded decode (set_local_rows): batch rows whose
+        # pixels this process must materialize; None → decode everything
+        self.local_rows = None
+        # multi-host consumers re-shard batches globally themselves — let
+        # them opt out of the single-device prefetch put
+        self.device_prefetch = True
+
+    def set_local_rows(self, rows) -> bool:
+        """Restrict pixel decode to the given batch-row indices (multi-host:
+        parallel.multihost.local_batch_rows — the rows whose image shards
+        live on this process's devices). Batch MEMBERSHIP stays globally
+        identical: the drop-empty decision depends only on box geometry,
+        which ``_batches_sharded`` computes for every sample from manifest
+        records + header-only image sizes, without decoding pixels. Rows
+        outside the set are zero-filled; ``shard_host_batch`` never reads
+        them (make_array_from_callback materializes only addressable
+        shards).
+
+        Returns False (and decodes everything) for the two regimes whose
+        geometry cannot be derived without pixels on plain local files:
+        train-time mosaic composition and remote (``fs``) loaders."""
+        if (self.mosaic and self.train) or self.fs is not None:
+            self.local_rows = None
+            return False
+        self.local_rows = frozenset(int(r) for r in rows)
+        return True
 
     def __len__(self):
         n = len(self.records) // self.batch_size
@@ -258,7 +290,99 @@ class DataPipeline:
                     results[j] = res
                 yield from results
 
+    def _batches_sharded(self) -> Iterator[BatchData]:
+        """Multi-host epoch iterator (``local_rows`` set): phase 1 replays
+        the full global stream GEOMETRY-ONLY — box scaling from header
+        sizes, affine draws from the same RNG convention as the normal
+        path (shared stream for workers==1, per-position seeds for
+        workers>1), drop-empty membership — so every host agrees on batch
+        composition bitwise; phase 2 decodes pixels only for the rows this
+        host's devices hold."""
+        from .native import decode_resize_batch, native_available
+        rng = np.random.default_rng(self.seed + self._epoch)
+        order = (rng.permutation(len(self.records)) if self.shuffle
+                 else np.arange(len(self.records)))
+        s = self.input_size
+        native_ok = native_available()
+        rngs = None
+        if self.workers > 1:
+            rngs = [np.random.default_rng(sd)
+                    for sd in np.random.SeedSequence(
+                        [self.seed, self._epoch]).spawn(len(order))]
+
+        kept: List[tuple] = []  # (record, use_native, mat, boxes)
+        for pos, i in enumerate(order):
+            rec = self.records[i]
+            srng = rngs[pos] if rngs is not None else rng
+            use_native = native_ok and rec["img_path"].endswith(".jpg")
+            h0, w0 = _image_hw(rec["img_path"])
+            boxes = np.asarray([rec["bbox"]], np.float32)
+            if use_native:  # _post_resize scales boxes in float32
+                boxes = boxes * np.asarray(
+                    [s / w0, s / h0, s / w0, s / h0], np.float32)
+            else:  # _resize scales in float64
+                boxes = boxes * np.array([s / w0, s / h0, s / w0, s / h0])
+            mat = None
+            if self.train:
+                mat = _affine_matrix(srng, s)
+                boxes = _affine_boxes(boxes, mat, s)
+                keep_m = ((boxes[:, 2] - boxes[:, 0]) > 1.0) & (
+                    (boxes[:, 3] - boxes[:, 1]) > 1.0)
+                boxes = boxes[keep_m]
+            boxes = boxes.astype(np.float32)
+            if len(boxes) == 0:
+                continue  # drop-empty: same decision on every host
+            kept.append((rec, use_native, mat, boxes))
+            if len(kept) == self.batch_size:
+                yield self._materialize_rows(kept, decode_resize_batch)
+                kept = []
+        if kept and not self.drop_last:
+            yield self._materialize_rows(kept, decode_resize_batch)
+        self._epoch += 1
+
+    def _materialize_rows(self, kept, decode_resize_batch) -> BatchData:
+        """Phase 2 of the sharded iterator: decode pixels for the owned
+        rows only (native batch decoder for plain JPEGs, python path
+        otherwise), applying the phase-1 affine. Non-owned rows stay
+        zero — the global array constructor never reads them."""
+        s = self.input_size
+        b = len(kept)
+        images = np.zeros((b, s, s, 3), np.float32)
+        rows = [r for r in range(b)
+                if self.local_rows is None or r in self.local_rows]
+        npos = [r for r in rows if kept[r][1]]
+        if npos:
+            paths = [kept[r][0]["img_path"] for r in npos]
+            imgs, ok = decode_resize_batch(paths, s, threads=self.workers)
+            for k, r in enumerate(npos):
+                mat = kept[r][2]
+                if ok[k]:
+                    img = imgs[k]
+                    if mat is not None:
+                        img, _ = _apply_affine(img, np.zeros((0, 4)), mat)
+                else:  # corrupt file: python decode (boxes keep the
+                    # phase-1 float32 scaling — documented deviation)
+                    img, _ = _resize(_load_image(paths[k]),
+                                     np.zeros((0, 4)), s)
+                    if mat is not None:
+                        img, _ = _apply_affine(img, np.zeros((0, 4)), mat)
+                    img = img.astype(np.float32) / 255.0
+                images[r] = img
+        for r in rows:
+            if kept[r][1]:
+                continue
+            rec, _, mat, _ = kept[r]
+            img, _ = _resize(self._read_image(rec["img_path"]),
+                             np.zeros((0, 4)), s)
+            if mat is not None:
+                img, _ = _apply_affine(img, np.zeros((0, 4)), mat)
+            images[r] = img.astype(np.float32) / 255.0
+        return self._collate(list(images), [k[3] for k in kept])
+
     def _batches(self) -> Iterator[BatchData]:
+        if self.local_rows is not None:
+            yield from self._batches_sharded()
+            return
         rng = np.random.default_rng(self.seed + self._epoch)
         order = (rng.permutation(len(self.records)) if self.shuffle
                  else np.arange(len(self.records)))
@@ -305,7 +429,8 @@ class DataPipeline:
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(jax.tree.map(jax.device_put, batch))
+                    q.put(jax.tree.map(jax.device_put, batch)
+                          if self.device_prefetch else batch)
             finally:
                 q.put(_END)
 

@@ -25,9 +25,13 @@ Config surface: ``train.trainer.multihost: true`` plus the optional
 ``coordinator/num_processes/process_id`` keys (all auto-detected on real
 TPU pods; explicit values are for CPU/GPU clusters and tests).
 
-Known scope limit (documented open item): each host decodes the full
-global batch; sharding the manifests per process would cut host decode
-cost by the process count.
+Host decode is sharded too: ``local_batch_rows`` computes which global
+batch rows live on this process's devices, and
+``DataPipeline.set_local_rows`` restricts pixel decode to those rows
+(batch membership stays globally consistent — it depends only on box
+geometry, which every host replays from manifest records without
+decoding; see data/pipeline.py::_batches_sharded). Host decode cost
+falls by the process count.
 """
 
 from typing import Optional
@@ -73,6 +77,23 @@ def init_multihost(coordinator: Optional[str] = None,
         kw["local_device_ids"] = local_device_ids
     jax.distributed.initialize(**kw)
     _INITIALIZED = True
+
+
+def local_batch_rows(mesh, batch_size: int,
+                     spatial: bool = False) -> frozenset:
+    """Global-batch row indices whose image shards live on THIS process's
+    devices. Feed to ``DataPipeline.set_local_rows`` so each host decodes
+    only its own rows; ``shard_host_batch`` never reads the others
+    (make_array_from_callback materializes addressable shards only)."""
+    sh = batch_shardings(mesh, spatial).image
+    # only dim 0 (batch) matters for row ownership; H is a dummy that
+    # must divide the 'sp' axis — use the axis size itself
+    shape = (batch_size, dict(mesh.shape).get("sp", 1), 1, 1)
+    rows = set()
+    for dev, idx in sh.devices_indices_map(shape).items():
+        if dev.process_index == jax.process_index():
+            rows.update(range(*idx[0].indices(batch_size)))
+    return frozenset(rows)
 
 
 def shard_host_batch(batch: BatchData, mesh, spatial: bool = False

@@ -19,7 +19,8 @@ from ..models import build_model
 from ..parallel import make_mesh, make_sharded_train_step, shard_batch
 from ..parallel.mesh import (batch_group_size, check_layout_supported,
                              state_shardings)
-from ..parallel.multihost import init_multihost, shard_host_batch
+from ..parallel.multihost import (init_multihost, local_batch_rows,
+                                  shard_host_batch)
 from ..utils.datatypes import TrainState
 from .checkpoint import CheckpointManager
 from .dvclive_io import MetricsWriter
@@ -143,6 +144,21 @@ class Trainer:
                         f"data*fsdp*ep={grp} (the batch dim shards over "
                         "every non-spatial mesh axis — ZeRO convention, "
                         "see parallel.mesh.BATCH_AXES)")
+
+        if self.multihost and self.mesh is not None:
+            # sharded host decode: this process only materializes the
+            # batch rows its devices hold (train only — validate() feeds
+            # the eval step the full replicated batch)
+            if hasattr(train_pipe, "set_local_rows"):
+                rows = local_batch_rows(self.mesh,
+                                        int(config.dataset.batch_size),
+                                        spatial=self.n_sp > 1)
+                train_pipe.set_local_rows(rows)
+            # batches get globally re-sharded by shard_host_batch; skip
+            # the pipelines' single-device prefetch put
+            for pipe in (train_pipe, val_pipe):
+                if hasattr(pipe, "device_prefetch"):
+                    pipe.device_prefetch = False
 
         ckpt_cfg = config.train.checkpoint
         self.ckpt = CheckpointManager(
