@@ -8,4 +8,5 @@ from .mesh import (
     shard_batch,
     make_sharded_train_step,
 )
-from .multihost import init_multihost, local_batch_rows, shard_host_batch
+from .multihost import (init_multihost, local_batch_rows, put_state,
+                        shard_host_batch)

@@ -96,6 +96,23 @@ def local_batch_rows(mesh, batch_size: int,
     return frozenset(rows)
 
 
+def put_state(state, shardings):
+    """Place a host-side (numpy/process-local, process-identical) train
+    state onto the mesh per ``shardings``. Multi-process-safe: plain
+    ``device_put`` cannot target non-addressable devices, so with >1
+    process each host contributes the addressable shards of every global
+    array via ``make_array_from_callback`` (replicated leaves are read
+    whole on each host — identical by the deterministic-init/restore
+    convention)."""
+    def put(x, s):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, s)
+        return jax.make_array_from_callback(x.shape, s,
+                                            lambda idx, _x=x: _x[idx])
+    return jax.tree.map(put, state, shardings)
+
+
 def shard_host_batch(batch: BatchData, mesh, spatial: bool = False
                      ) -> BatchData:
     """Host-side GLOBAL batch (identical copy on every process, the

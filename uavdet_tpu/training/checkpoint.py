@@ -80,21 +80,30 @@ class CheckpointManager:
             name = f"best-{epoch:02d}-{value:.4f}"
             if self.best_path:
                 old = os.path.join(self.ckpt_dir, self.best_path)
-                if os.path.exists(old):
+                # one deleter on shared filesystems (every process keeps
+                # the bookkeeping; _save coordinates its own writes)
+                if jax.process_index() == 0 and os.path.exists(old):
                     shutil.rmtree(old)
             self._save(state, os.path.join(self.ckpt_dir, name))
             self.best_value, self.best_path = value, name
-        with open(self._meta_path, "w") as f:
-            json.dump({"best_value": self.best_value,
-                       "best_path": self.best_path, "epoch": epoch}, f)
+        if jax.process_index() == 0:
+            with open(self._meta_path, "w") as f:
+                json.dump({"best_value": self.best_value,
+                           "best_path": self.best_path, "epoch": epoch}, f)
         return is_best
 
     def restore(self, like: TrainState, name: str = "last") -> TrainState:
         path = os.path.join(self.ckpt_dir, name)
         if _HAS_ORBAX:
             ckptr = ocp.StandardCheckpointer()
-            like_np = jax.tree.map(np.asarray, like)
-            return ckptr.restore(path, like_np)
+            # shape/dtype template only — np.asarray would fail on a
+            # multi-process state (non-addressable shards); every process
+            # reads the full arrays from the (shared) checkpoint dir
+            def _np_like(x):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    return np.zeros(x.shape, x.dtype)
+                return np.asarray(x)
+            return ckptr.restore(path, jax.tree.map(_np_like, like))
         flat, treedef = jax.tree.flatten(like)
         data = np.load(os.path.join(path, "arrays.npz"))
         return jax.tree.unflatten(

@@ -20,7 +20,7 @@ from ..parallel import make_mesh, make_sharded_train_step, shard_batch
 from ..parallel.mesh import (batch_group_size, check_layout_supported,
                              state_shardings)
 from ..parallel.multihost import (init_multihost, local_batch_rows,
-                                  shard_host_batch)
+                                  put_state, shard_host_batch)
 from ..utils.datatypes import TrainState
 from .checkpoint import CheckpointManager
 from .dvclive_io import MetricsWriter
@@ -184,6 +184,16 @@ class Trainer:
                                    compute_dtype=self.compute_dtype)
         return train_step, eval_step
 
+    def _place_state(self, state):
+        """Put a host-side train state onto the mesh (fsdp/ep shardings;
+        replicated otherwise). Multi-process-safe via parallel.put_state —
+        plain device_put cannot target non-addressable devices."""
+        if self.mesh is None:
+            return state
+        sh = state_shardings(state, self.mesh, fsdp=self.n_fsdp > 1,
+                             ep=self.n_ep > 1)
+        return put_state(state, sh)
+
     def fit(self, resume: bool = False) -> dict:
         cfg = self.config
         state = init_state(
@@ -195,10 +205,7 @@ class Trainer:
             print(f"Resumed from last checkpoint at step "
                   f"{int(np.asarray(state.step))}")
 
-        if self.mesh is not None:
-            sh = state_shardings(state, self.mesh, fsdp=self.n_fsdp > 1,
-                                 ep=self.n_ep > 1)
-            state = jax.tree.map(jax.device_put, state, sh)
+        state = self._place_state(state)
 
         train_step, eval_step = self._build_steps(state)
 
@@ -237,7 +244,8 @@ class Trainer:
                         raise FloatingPointError(
                             "nan_guard: too many non-finite losses")
                     if self.ckpt.has_checkpoint("last"):
-                        state = self.ckpt.restore(state, "last")
+                        state = self._place_state(
+                            self.ckpt.restore(state, "last"))
                     continue
                 state = new_state
                 pending.append(m)
@@ -270,7 +278,8 @@ class Trainer:
         if self.profiler:
             jax.profiler.stop_trace()
 
-        self.metrics.flush()
+        if jax.process_index() == 0:  # one writer on shared filesystems
+            self.metrics.flush()
         final["epoch"] = self.epochs - 1
         return final
 
@@ -312,9 +321,16 @@ class Trainer:
         for i, batch in enumerate(iter(self.val_pipe)):
             if i >= n_val:
                 break
+            hbatch = batch  # host copy: GT for AP, pre-shard
+            if self.mesh is not None:
+                # multihost: the eval step runs on globally-sharded arrays
+                # (a host-local batch cannot mix with a multi-process
+                # state); single-host mesh takes the same path for parity
+                batch = shard_host_batch(batch, self.mesh,
+                                         spatial=self.n_sp > 1)
             ms.append(eval_step(state, batch))
             if detect is not None:
-                self._update_ap(ap_metric, detect, state, batch)
+                self._update_ap(ap_metric, detect, state, batch, hbatch)
         # one batched host fetch for the whole validation pass
         if ms:
             ms = jax.device_get(ms)
@@ -326,14 +342,23 @@ class Trainer:
             out["val_AP"] = ap_metric.compute()["map"]
         return out
 
-    def _update_ap(self, ap_metric, detect, state, batch):
+    def _update_ap(self, ap_metric, detect, state, batch, hbatch=None):
+        """``batch`` feeds the jitted detector (may be mesh-sharded);
+        ``hbatch`` is the host-side copy supplying the GT (a multi-process
+        batch's shards are not all addressable here)."""
+        hbatch = batch if hbatch is None else hbatch
         det = detect({"params": state.params,
                       "batch_stats": state.batch_stats}, batch.image)
+        if jax.process_count() > 1:
+            # detections shard over batch rows → gather the global value
+            # (every process updates the identical metric state)
+            from jax.experimental import multihost_utils
+            det = multihost_utils.process_allgather(det, tiled=True)
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         valid = np.asarray(det.valid)
-        gt = np.asarray(batch.boxes) * self.input_size
-        gt_mask = np.asarray(batch.box_mask)
+        gt = np.asarray(hbatch.boxes) * self.input_size
+        gt_mask = np.asarray(hbatch.box_mask)
         for i in range(boxes.shape[0]):
             b = boxes[i][valid[i]]
             cxcywh = np.stack([(b[:, 0] + b[:, 2]) / 2,
