@@ -302,6 +302,88 @@ def _host_data_bench(name, hparams, input_size, batch, epochs, workers):
           f"[host-bound]", fps)
 
 
+class _CachedPipe:
+    """Wrap a DataPipeline: first epoch decodes + device-puts every batch,
+    later epochs replay the cached device arrays — isolating the Trainer
+    loop's dispatch pattern from host decode."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self._cache = None
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        if self._cache is None:
+            import jax
+            import jax.numpy as jnp
+            self._cache = [jax.tree.map(jnp.asarray, b)
+                           for b in iter(self.inner)]
+        yield from self._cache
+
+
+def _fit_rate_bench(cfg, epochs=4, batch=8, input_size=640, n_frames=56):
+    """``Trainer.fit`` SUSTAINED img/s (VERDICT r2 item 7 / r3 item 5),
+    cfg6-comparable configuration: DyYOLO @640, bs=8, grad-accum 2, bf16,
+    nan_guard off, log_every_n_steps default (50).
+
+    Prints two rates from one run each (epoch 0 excluded — it carries
+    compile): (a) cached device batches — the Trainer dispatch pattern
+    with data free, the number comparable to cfg6's bare-step rate, and
+    (b) the on-disk manifest with the real host decode path — on this
+    1-CPU-core host that one is DECODE-bound (see --host-data). The JSON
+    line reports (a)."""
+    import os
+    import tempfile
+
+    from uavdet_tpu.data import (DataPipeline, build_index,
+                                 make_synthetic_dataset)
+    from uavdet_tpu.training import MetricsWriter, Trainer
+    from uavdet_tpu.utils.config import Config
+
+    root = tempfile.mkdtemp(prefix="uavdet_fitbench_")
+    make_synthetic_dataset(root, splits=("train", "val"), n_seq=2,
+                           n_frames=n_frames, img_size=input_size)
+    recs = build_index(os.path.join(root, "train"))
+    va = DataPipeline(build_index(os.path.join(root, "val"))[:batch],
+                      input_size, batch, train=False, seed=1)
+
+    tcfg = dict(cfg.train.trainer.to_dict(),
+                epochs=epochs, grad_batches=2, precision="bf16",
+                train_batches=1.0, val_batches=1,
+                check_val_every_n_epoch=10 ** 6,  # pure train-loop timing
+                nan_guard=False)
+    fit_cfg = Config(dict(
+        cfg.to_dict(),
+        dataset=dict(cfg.dataset.to_dict(), batch_size=batch,
+                     image_size=[input_size, input_size]),
+        train=dict(cfg.train.to_dict(), trainer=tcfg,
+                   checkpoint=dict(cfg.train.checkpoint.to_dict(),
+                                   dir=os.path.join(root, "ck")))))
+
+    rates = {}
+    for mode in ("cached", "disk"):
+        tr = DataPipeline(recs, input_size, batch, train=True, seed=2,
+                          workers=int(cfg.dataset.get("workers", 1) or 1))
+        pipe = _CachedPipe(tr) if mode == "cached" else tr
+        t = Trainer(fit_cfg, pipe, va,
+                    metrics=MetricsWriter(os.path.join(root, f"dv_{mode}")))
+        t.fit()
+        n_imgs = len(tr) * batch
+        sustained = [n_imgs / s for s in t.epoch_seconds[1:]]
+        rates[mode] = float(np.median(sustained))
+        print(f"# fit-rate[{mode}]: epochs {['%.1f' % (n_imgs / s) for s in t.epoch_seconds]} img/s "
+              f"(epoch0 incl. compile), sustained median "
+              f"{rates[mode]:.1f} img/s", file=sys.stderr)
+
+    print(f"# fit-rate: cached {rates['cached']:.1f} img/s (dispatch "
+          f"pattern, cfg6-comparable) | on-disk {rates['disk']:.1f} img/s "
+          f"(host-decode-bound on this 1-core host)", file=sys.stderr)
+    _emit(f"Trainer.fit sustained img/s (cached device batches) DyYOLO "
+          f"@{input_size}px bs={batch} accum=2", rates["cached"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -331,6 +413,9 @@ def main():
     ap.add_argument("--config", type=int, default=None,
                     choices=[1, 2, 3, 4, 5, 6],
                     help="BASELINE.json workload config (see module doc)")
+    ap.add_argument("--fit-rate", action="store_true",
+                    help="measure Trainer.fit sustained img/s (cached"
+                    " device batches + on-disk manifest), cfg6-comparable")
     args = ap.parse_args()
 
     import jax  # noqa: F401  (initialize before model building)
@@ -355,6 +440,10 @@ def main():
         import os
         _host_data_bench(name, hparams, input_size, batch, args.epochs,
                          args.workers or os.cpu_count() or 1)
+    elif args.fit_rate:
+        _fit_rate_bench(cfg, epochs=max(args.epochs, 3),
+                        input_size=input_size,
+                        n_frames=8 if args.smoke else 56)
     elif args.config is None:
         _detector_bench(name, hparams, batch, input_size, args.iters,
                         args.warmup,

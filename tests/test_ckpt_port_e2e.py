@@ -102,7 +102,11 @@ def workdir(tmp_path_factory):
     return wd, tm
 
 
-def test_port_cli_then_evaluate_matches_direct_import(workdir):
+@pytest.fixture(scope="module")
+def ported_eval(workdir):
+    """Run the two protocol CLIs once per module: port the Lightning ckpt,
+    then ``evaluate.py --dump`` — the exact two commands a real
+    reference checkpoint will go through."""
     wd, tm = workdir
     r = _run("scripts/port_reference_checkpoint.py", wd,
              str(wd / "best-01-2.4163.ckpt"), "logs/checkpoints")
@@ -114,6 +118,12 @@ def test_port_cli_then_evaluate_matches_direct_import(workdir):
     assert r.returncode == 0, r.stderr[-2000:]
     eval_out = json.loads(r.stdout.strip().splitlines()[-1])
     dets = json.loads((wd / "dets.json").read_text())["images"]
+    return eval_out, dets
+
+
+def test_port_cli_then_evaluate_matches_direct_import(workdir, ported_eval):
+    wd, tm = workdir
+    eval_out, dets = ported_eval
     assert eval_out["images"] == len(dets) > 0
 
     # in-process oracle: direct import (no CLI/orbax round trip), same
@@ -208,3 +218,45 @@ def test_port_cli_then_evaluate_matches_direct_import(workdir):
     # (bf16 detector vs f32 torch forward)
     assert ours["map_50"] == pytest.approx(theirs["map_50"], abs=0.005)
     assert ours["map"] == pytest.approx(theirs["map"], abs=0.005)
+
+
+def test_dump_schema_and_golden(ported_eval):
+    """Schema + pinned-golden test of the ``evaluate.py --dump`` artifact
+    (the parity-protocol file a real reference checkpoint will produce).
+
+    The dump chain is fully deterministic here (fixed synthetic dataset
+    seed, fixed torch init seed, CPU backend, bf16 detector), so a golden
+    sample pins the WHOLE import→orbax→detector→decode→NMS→dump chain
+    against silent drift; tolerances absorb backend rounding only."""
+    eval_out, dets = ported_eval
+
+    # --- schema: every image entry carries the three keys with
+    # consistent shapes and sane values
+    assert len(dets) == eval_out["images"] > 0
+    for d in dets:
+        assert set(d) == {"boxes_xyxy", "scores", "gt_xyxy"}
+        b = np.asarray(d["boxes_xyxy"], np.float32).reshape(-1, 4)
+        s = np.asarray(d["scores"], np.float32)
+        g = np.asarray(d["gt_xyxy"], np.float32).reshape(-1, 4)
+        assert len(b) == len(s)
+        assert len(g) >= 1
+        assert np.isfinite(b).all() and np.isfinite(s).all()
+        assert (s >= 0).all() and (s <= 1).all()
+        assert (s[:-1] >= s[1:] - 1e-6).all()  # NMS keeps score order
+        assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+
+    # --- golden sample: first image's top detection + headline mAP,
+    # pinned from the deterministic chain (synthetic dataset seed 0,
+    # torch init seed 7, CPU backend, bf16 detector). Tolerances absorb
+    # backend/bf16 rounding; anything larger is real protocol drift.
+    d0 = dets[0]
+    b0 = np.asarray(d0["boxes_xyxy"], np.float32)
+    s0 = np.asarray(d0["scores"], np.float32)
+    assert len(dets) == 11
+    assert len(s0) == 300  # max_det saturation at the 0.001 threshold
+    np.testing.assert_allclose(
+        b0[0], [46.942, 2.871, 72.61, 21.371], atol=0.5,
+        err_msg="top-1 box drifted — import/decode/NMS chain changed")
+    assert s0[0] == pytest.approx(0.52208, abs=0.01)
+    assert eval_out["map_50"] == pytest.approx(0.0014, abs=0.05)
+    assert eval_out["map"] == pytest.approx(0.0002, abs=0.05)

@@ -195,3 +195,97 @@ def test_matches_cocoeval_result_keys():
     assert out["map_50"] == pytest.approx(p[0], abs=1e-12)
     assert out["map_75"] == pytest.approx(p[5], abs=1e-12)
     assert out["mar_100"] == pytest.approx(r[r > -1].mean(), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial goldens (VERDICT r3 item 6): deterministic corner scenes that
+# pin the protocol's tie-breaking/boundary semantics — score-tie ordering
+# across images, degenerate + edge-touching boxes, exact-threshold IoU,
+# max_det saturation, exact area-range boundaries — without the wheel.
+
+_IOU_THRS = np.asarray([0.5 + 0.05 * i for i in range(10)])
+
+
+def _assert_parity(images, areas=("all", "small", "medium", "large"),
+                   max_dets=(1, 3, 100), msg=""):
+    for area in areas:
+        for max_det in max_dets:
+            want_p, want_r = _oracle(images, _IOU_THRS, area, max_det)
+            m = MeanAveragePrecision(box_format="xyxy",
+                                     iou_thresholds=_IOU_THRS,
+                                     max_det=max_det)
+            for d, s, g in images:
+                m.update(d, s, g)
+            got_p, got_r = m._evaluate_area(area, max_det)
+            np.testing.assert_allclose(
+                got_p, want_p, rtol=0, atol=1e-12,
+                err_msg=f"{msg} AP area={area} maxDet={max_det}")
+            np.testing.assert_allclose(
+                got_r, want_r, rtol=0, atol=1e-12,
+                err_msg=f"{msg} AR area={area} maxDet={max_det}")
+
+
+def test_adversarial_score_ties_across_images():
+    """IDENTICAL scores spread across images: accumulate()'s global
+    mergesort must interleave detections in image-update order (stable
+    sort over the concatenation) — a pure tie-ordering golden."""
+    g1 = np.array([[0., 0., 40., 40.], [100., 100., 150., 150.]])
+    g2 = np.array([[10., 10., 60., 60.]])
+    # every detection scores 0.5; one TP and one FP per image
+    d1 = np.array([[0., 0., 40., 40.], [300., 300., 340., 340.]])
+    d2 = np.array([[10., 10., 60., 60.], [200., 200., 240., 240.]])
+    s = np.array([0.5, 0.5])
+    images = [(d1, s, g1), (d2, s, g2)]
+    _assert_parity(images, msg="score-ties")
+    # tie straddling the max_det cut inside ONE image
+    d3 = np.array([[0., 0., 40., 40.], [1., 1., 41., 41.],
+                   [2., 2., 42., 42.]])
+    _assert_parity([(d3, np.array([0.7, 0.7, 0.7]), g1)],
+                   max_dets=(1, 2, 3), msg="tie-at-cut")
+
+
+def test_adversarial_degenerate_and_edge_boxes():
+    """Zero-area GT and DT boxes (pycocotools keeps them: area 0 is NOT
+    ignored by the 'all'/'small' ranges, IoU against them is 0 — the
+    u > 0 guard), exactly-coincident dt==gt (IoU exactly 1), edge-touching
+    boxes (intersection exactly 0), and IoU exactly at the 0.5 threshold
+    (matched: the comparison is ``ious < min(t, 1-1e-10)``)."""
+    gts = np.array([
+        [0., 0., 10., 10.],     # normal
+        [5., 5., 5., 9.],       # zero-width GT
+        [50., 50., 60., 60.],   # normal
+    ])
+    dts = np.array([
+        [0., 0., 10., 10.],     # IoU exactly 1 with gt0
+        [10., 0., 20., 10.],    # edge-touches gt0: IoU exactly 0
+        [5., 5., 5., 9.],       # zero-area dt coincident with zero-area gt
+        [50., 50., 60., 55.],   # IoU exactly 0.5 with gt2 (inter 50/100)
+    ])
+    scores = np.array([0.9, 0.8, 0.7, 0.6])
+    _assert_parity([(dts, scores, gts)], msg="degenerate/edge")
+
+
+def test_adversarial_max_det_saturation():
+    """n_dt >> max_det: the per-image top-max_det cut happens BEFORE
+    matching (evaluateImg) and again nothing re-enters at accumulate."""
+    rng = np.random.default_rng(7)
+    gts = np.array([[0., 0., 50., 50.], [100., 0., 150., 50.]])
+    base = np.concatenate([np.tile(gts[0], (6, 1)), np.tile(gts[1], (6, 1))])
+    dts = base + rng.uniform(-3, 3, base.shape)
+    scores = np.round(rng.uniform(size=len(dts)), 1)  # heavy ties
+    _assert_parity([(dts, scores, gts)], max_dets=(1, 2, 5, 100),
+                   msg="max_det-saturation")
+
+
+def test_adversarial_area_range_boundaries():
+    """Areas EXACTLY at the 32² and 96² COCO boundaries: the ignore rule
+    is ``area < lo or area > hi``, so a 1024-area box is counted by BOTH
+    'small' (0,1024] and 'medium' [1024,9216] — pinned here."""
+    gts = np.array([
+        [0., 0., 32., 32.],      # area exactly 32² = 1024
+        [100., 0., 196., 96.],   # area exactly 96² = 9216
+        [300., 0., 301., 1.],    # area 1 (tiny)
+    ])
+    dts = gts.copy()
+    scores = np.array([0.9, 0.8, 0.7])
+    _assert_parity([(dts, scores, gts)], msg="area-boundaries")

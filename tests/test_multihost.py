@@ -94,14 +94,20 @@ def _records(dataset_root):
     return build_index(os.path.join(dataset_root, "train"), seed=11)
 
 
-@pytest.mark.parametrize("train,workers", [(True, 1), (True, 2), (False, 1)])
-def test_sharded_decode_parity_full_rows(dataset_root, train, workers):
+@pytest.mark.parametrize("train,workers,mosaic",
+                         [(True, 1, False), (True, 2, False),
+                          (False, 1, False),
+                          (True, 1, True), (True, 2, True)])
+def test_sharded_decode_parity_full_rows(dataset_root, train, workers,
+                                         mosaic):
     """local_rows covering EVERY row must reproduce the normal pipeline
-    bitwise — geometry pass, RNG convention, pixel path all line up."""
+    bitwise — geometry pass, RNG convention, pixel path all line up
+    (mosaic-train included: quadrant membership replays geometry-only
+    from header sizes, data.mosaic.mosaic_layout)."""
     from uavdet_tpu.data import DataPipeline
     recs = _records(dataset_root)
     kw = dict(input_size=64, batch_size=4, train=train, seed=5,
-              workers=workers)
+              workers=workers, mosaic=mosaic)
     ref = [jax.device_get(b) for b in DataPipeline(recs, **kw)]
     pipe = DataPipeline(recs, **kw)
     assert pipe.set_local_rows(range(4))
@@ -131,13 +137,21 @@ def test_sharded_decode_skips_unowned_rows(dataset_root):
         np.testing.assert_array_equal(a.box_mask, b.box_mask)
 
 
-def test_set_local_rows_refuses_mosaic_and_remote(dataset_root):
+def test_set_local_rows_refuses_remote(dataset_root):
+    """Remote (fs) loaders cannot replay geometry without fetching the
+    object — set_local_rows falls back to full decode. (Mosaic-train no
+    longer refuses: membership replays from headers, see
+    test_sharded_decode_parity_full_rows[mosaic].)"""
     from uavdet_tpu.data import DataPipeline
     recs = _records(dataset_root)
     pipe = DataPipeline(recs, input_size=64, batch_size=4, train=True,
-                        mosaic=True)
+                        fs=object())
     assert not pipe.set_local_rows({0})
     assert pipe.local_rows is None
+    # mosaic-train accepts
+    pipe2 = DataPipeline(recs, input_size=64, batch_size=4, train=True,
+                         mosaic=True)
+    assert pipe2.set_local_rows({0})
 
 
 def test_local_batch_rows_single_process_owns_all():

@@ -163,46 +163,78 @@ def test_pipeline_matches_sequential_oracle_f64(rng):
                                    rtol=1e-9, atol=1e-12)
 
 
-def test_pp_train_step_sharded(rng):
+def test_pp_train_step_sharded_f64(rng):
     """The packed pp train step runs with params placed one-stage-per-device
-    over the ('pp',) mesh and its SGD update matches the oracle's."""
+    over the ('pp',) mesh and its SGD update matches the oracle's.
+
+    Update parity is asserted at f64 — the repo's discrimination lesson
+    (CLAUDE.md): f32 'divergence' up to ~5e-2 can be pure reassociation
+    noise on this model, so an f32 update comparison cannot separate a
+    schedule bug from noise. f64 can (rtol 1e-9)."""
     import optax
 
+    with jax.enable_x64(True):
+        pm = PipelinedModel(TINY_DY_CONFIG, S, dtype=jnp.float64)
+        imgs, boxes, mask = _microbatches(rng, jnp.float64)
+        template = pm.init(jax.random.key(3), imgs[0])
+        template = jax.tree.map(
+            lambda v: v.astype(jnp.float64)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, template)
+        pvec, svec = pm.pack_params(template)
+
+        tx = build_optimizer(HP)
+        mesh = make_pp_mesh(S)
+        row, _ = pp_shardings(mesh)
+        pvec_s = jax.device_put(pvec, row)
+        svec_s = jax.device_put(svec, row)
+        opt = jax.device_put(tx.init(pvec), jax.tree.map(lambda _: row,
+                                                         tx.init(pvec)))
+        # genuinely sharded: each device holds exactly one stage row
+        assert pvec_s.sharding.is_equivalent_to(row, pvec_s.ndim)
+        shard_shapes = {tuple(s.data.shape)
+                        for s in pvec_s.addressable_shards}
+        assert shard_shapes == {(1, pvec.shape[1])}
+
+        step = make_pp_train_step(pm, mesh, tx, HP, INPUT, M, template,
+                                  compute_dtype=jnp.float64)
+        (pvec2, svec2, opt2), metrics = step((pvec_s, svec_s, opt),
+                                             imgs, boxes, mask)
+        assert np.isfinite(float(metrics["loss"]))
+
+        # oracle SGD step on the same packed state
+        from uavdet_tpu.training.steps import _loss_weights
+        anchors = np.asarray(HP.anchors, np.float64)
+        oracle = _oracle_loss_fn(pm, template, anchors, _loss_weights(HP),
+                                 pm.head_scales(INPUT), INPUT)
+        (_, _), g1 = jax.jit(jax.value_and_grad(oracle, has_aux=True))(
+            pvec, svec, imgs, boxes, mask)
+        updates, _ = tx.update(g1, tx.init(pvec), pvec)
+        ref = optax.apply_updates(pvec, updates)
+        np.testing.assert_allclose(np.asarray(pvec2), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+        # padding lanes never move (their grads are identically zero)
+        sizes = [p.size for p in pm._param_packers(template)[0]]
+        for i, sz in enumerate(sizes):
+            np.testing.assert_array_equal(np.asarray(pvec2)[i, sz:], 0.0)
+
+
+def test_pp_train_step_f32_smoke(rng):
+    """The production-precision (f32) pp train step dispatches sharded and
+    produces finite metrics — parity itself is asserted by the f64 tests
+    (f32 comparisons cannot discriminate; CLAUDE.md methodology note)."""
     pm = PipelinedModel(TINY_DY_CONFIG, S)
     imgs, boxes, mask = _microbatches(rng)
-    template = pm.init(jax.random.key(3), imgs[0])
+    template = pm.init(jax.random.key(4), imgs[0])
     pvec, svec = pm.pack_params(template)
 
     tx = build_optimizer(HP)
     mesh = make_pp_mesh(S)
     row, _ = pp_shardings(mesh)
-    pvec_s = jax.device_put(pvec, row)
-    svec_s = jax.device_put(svec, row)
-    opt = jax.device_put(tx.init(pvec), jax.tree.map(lambda _: row,
-                                                     tx.init(pvec)))
-    # genuinely sharded: each device holds exactly one stage row
-    assert pvec_s.sharding.is_equivalent_to(row, pvec_s.ndim)
-    shard_shapes = {tuple(s.data.shape) for s in pvec_s.addressable_shards}
-    assert shard_shapes == {(1, pvec.shape[1])}
-
+    state = (jax.device_put(pvec, row), jax.device_put(svec, row),
+             jax.device_put(tx.init(pvec),
+                            jax.tree.map(lambda _: row, tx.init(pvec))))
     step = make_pp_train_step(pm, mesh, tx, HP, INPUT, M, template)
-    (pvec2, svec2, opt2), metrics = step((pvec_s, svec_s, opt),
-                                         imgs, boxes, mask)
+    (pvec2, _, _), metrics = step(state, imgs, boxes, mask)
     assert np.isfinite(float(metrics["loss"]))
-
-    # oracle SGD step on the same packed state
-    from uavdet_tpu.training.steps import _loss_weights
-    anchors = np.asarray(HP.anchors, np.float32)
-    oracle = _oracle_loss_fn(pm, template, anchors, _loss_weights(HP),
-                             pm.head_scales(INPUT), INPUT)
-    (_, _), g1 = jax.jit(jax.value_and_grad(oracle, has_aux=True))(
-        pvec, svec, imgs, boxes, mask)
-    updates, _ = tx.update(g1, tx.init(pvec), pvec)
-    ref = optax.apply_updates(pvec, updates)
-    np.testing.assert_allclose(np.asarray(pvec2), np.asarray(ref),
-                               rtol=5e-4, atol=1e-6)
-
-    # padding lanes never move (their grads are identically zero)
-    sizes = [p.size for p in pm._param_packers(template)[0]]
-    for i, sz in enumerate(sizes):
-        np.testing.assert_array_equal(np.asarray(pvec2)[i, sz:], 0.0)
+    assert np.isfinite(np.asarray(pvec2)).all()

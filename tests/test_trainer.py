@@ -230,3 +230,41 @@ def test_nan_guard_skips_poisoned_batches(pipes, tmp_path):
                 metrics=MetricsWriter(str(tmp_path / "ng" / "dv")))
     final = t.fit()
     assert np.isfinite(final["val_loss"])
+
+
+def test_trainer_pp_config_surface(pipes, tmp_path):
+    """train.trainer.pp_devices=2 runs Trainer.fit with collective
+    pipelining: packed one-stage-per-device state over the ('pp',) mesh
+    (parallel.pipeline), val loss + AP via the unpacked flagship
+    variables, checkpoint save + resume in the packed form. Invalid
+    combinations raise at construction."""
+    tr, va = pipes
+    cfg = _config(tmp_path, devices=2, pp_devices=2, eval_ap=True)
+    t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dvp")))
+    assert dict(t.pp_mesh.shape) == {"pp": 2}
+    assert t.mesh is None  # pp runs on its OWN mesh
+    final = t.fit()
+    assert np.isfinite(final["val_loss"])
+    assert "val_AP" in final and final["val_AP"] >= 0.0
+    assert t.ckpt.has_checkpoint("last")
+
+    # resume restores the packed pp state and continues
+    t2 = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dvp2")))
+    final2 = t2.fit(resume=True)
+    assert np.isfinite(final2["val_loss"])
+
+    # pp is mutually exclusive with the 4-axis mesh
+    with pytest.raises(ValueError, match="cannot combine"):
+        Trainer(_config(tmp_path, devices=4, pp_devices=2, fsdp_devices=2),
+                tr, va, metrics=MetricsWriter(str(tmp_path / "dvp3")))
+
+    # batch_size=2 cannot split into 3 microbatches
+    with pytest.raises(ValueError, match="pp_microbatches"):
+        Trainer(_config(tmp_path, devices=2, pp_devices=2,
+                        pp_microbatches=3),
+                tr, va, metrics=MetricsWriter(str(tmp_path / "dvp4")))
+
+    # devices, when given, must equal pp_devices
+    with pytest.raises(ValueError, match="must equal"):
+        Trainer(_config(tmp_path, devices=4, pp_devices=2), tr, va,
+                metrics=MetricsWriter(str(tmp_path / "dvp5")))

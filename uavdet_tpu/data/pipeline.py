@@ -23,7 +23,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from ..utils.datatypes import BatchData
-from .mosaic import create_mosaic_4_img
+from .mosaic import create_mosaic_4_img, mosaic_layout
 
 
 def _load_image(path: str, fs=None) -> np.ndarray:
@@ -176,10 +176,15 @@ class DataPipeline:
         them (make_array_from_callback materializes only addressable
         shards).
 
-        Returns False (and decodes everything) for the two regimes whose
-        geometry cannot be derived without pixels on plain local files:
-        train-time mosaic composition and remote (``fs``) loaders."""
-        if (self.mosaic and self.train) or self.fs is not None:
+        Mosaic-train membership is replayed geometry-only too: the
+        quadrant placement + degenerate-skip plan needs only header sizes
+        and manifest boxes (``data.mosaic.mosaic_layout``), so only the
+        source-image pixel decodes are skipped for non-owned rows.
+
+        Returns False (and decodes everything) only for remote (``fs``)
+        loaders, whose image headers cannot be read without fetching the
+        object anyway."""
+        if self.fs is not None:
             self.local_rows = None
             return False
         self.local_rows = frozenset(int(r) for r in rows)
@@ -314,6 +319,32 @@ class DataPipeline:
         for pos, i in enumerate(order):
             rec = self.records[i]
             srng = rngs[pos] if rngs is not None else rng
+            if self.mosaic and self.train:
+                # mosaic replay: SAME rng draw order as _sample (source
+                # indices, then the affine), placement plan from header
+                # sizes only (data.mosaic.mosaic_layout)
+                idx = srng.integers(0, len(self.records), size=4)
+                sizes = [_image_hw(self.records[j]["img_path"])
+                         for j in idx]
+                bxs = [np.asarray(self.records[j]["bbox"], np.float32)
+                       for j in idx]
+                layout = mosaic_layout(sizes, bxs, (s, s))
+                boxes = np.asarray([b for _, _, b in layout], np.float32)
+                # transform replay: _resize of the (s, s) mosaic scales
+                # boxes by exactly 1.0 in float64 — astype is bitwise-equal
+                boxes = boxes.astype(np.float64).reshape(-1, 4)
+                mat = _affine_matrix(srng, s)
+                boxes = _affine_boxes(boxes, mat, s)
+                keep_m = ((boxes[:, 2] - boxes[:, 0]) > 1.0) & (
+                    (boxes[:, 3] - boxes[:, 1]) > 1.0)
+                boxes = boxes[keep_m].astype(np.float32)
+                if len(boxes) == 0:
+                    continue  # drop-empty: same decision on every host
+                kept.append(({"mosaic_idx": idx}, False, mat, boxes))
+                if len(kept) == self.batch_size:
+                    yield self._materialize_rows(kept, decode_resize_batch)
+                    kept = []
+                continue
             use_native = native_ok and rec["img_path"].endswith(".jpg")
             h0, w0 = _image_hw(rec["img_path"])
             boxes = np.asarray([rec["bbox"]], np.float32)
@@ -372,8 +403,15 @@ class DataPipeline:
             if kept[r][1]:
                 continue
             rec, _, mat, _ = kept[r]
-            img, _ = _resize(self._read_image(rec["img_path"]),
-                             np.zeros((0, 4)), s)
+            if "mosaic_idx" in rec:
+                srcs = [self._read_image(
+                    self.records[j]["img_path"]) for j in rec["mosaic_idx"]]
+                bxs = [np.asarray(self.records[j]["bbox"], np.float32)
+                       for j in rec["mosaic_idx"]]
+                img, _ = create_mosaic_4_img(srcs, bxs, (s, s))
+            else:
+                img = self._read_image(rec["img_path"])
+            img, _ = _resize(img, np.zeros((0, 4)), s)
             if mat is not None:
                 img, _ = _apply_affine(img, np.zeros((0, 4)), mat)
             images[r] = img.astype(np.float32) / 255.0

@@ -179,8 +179,11 @@ class DynamicSOEM(nn.Module):
         a = nn.Dense(hidden, name="attn_fc1", dtype=self.dtype)(pooled)
         a = nn.relu(a)
         a = nn.Dense(self.num_dy_conv, name="attn_fc2", dtype=self.dtype)(a)
-        attn = jax.nn.softmax(a.astype(jnp.float32) / attn_temp,
-                              axis=-1)  # (B, E)
+        # ≥f32 softmax: stability under bf16, full precision at f32/f64
+        # (see DyConvModule — an f32 bottleneck breaks f64 parity programs)
+        attn = jax.nn.softmax(
+            a.astype(jnp.promote_types(a.dtype, jnp.float32)) / attn_temp,
+            axis=-1)  # (B, E)
 
         ks = self.dy_kernel_size
         y = _ExpertsConv(self.num_dy_conv * out_c, ks, in_attn,

@@ -193,9 +193,14 @@ class DyConvModule(nn.Module):
         a = nn.relu(a)
         a = nn.Dense(self.num_experts, use_bias=True, name="attn_fc2",
                      dtype=self.dtype)(a)
-        # softmax in f32 for stability regardless of compute dtype
-        attn = jax.nn.softmax(a.astype(jnp.float32) / attn_temp,
-                              axis=-1)  # (B, E)
+        # softmax at ≥f32 for stability under bf16 compute (f32/f64 inputs
+        # keep their precision — demoting f64 here would put an f32
+        # bottleneck in the middle of the f64 parity programs, whose
+        # compile-dependent reassociation shows up as f32-eps gradient
+        # divergence between otherwise-identical schedules)
+        attn = jax.nn.softmax(
+            a.astype(jnp.promote_types(a.dtype, jnp.float32)) / attn_temp,
+            axis=-1)  # (B, E)
 
         # expert kernels stacked on the output-channel axis
         k = self.kernel_size

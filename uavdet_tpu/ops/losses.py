@@ -81,17 +81,24 @@ def yolo_loss(
 
     ``iou_mode``: 'elementwise' (default — each positive cell's soft label
     is its own IoU) or 'col0' (reference-exact: IoU against the first
-    positive target of the sample/head; see module docstring)."""
-    anchors = jnp.asarray(anchors, jnp.float32)
+    positive target of the sample/head; see module docstring).
+
+    Compute dtype follows the predictions, floored at float32 (bf16 heads
+    still reduce in f32 — matching the reference's f32 loss); f64 inputs
+    keep the whole loss in f64 (the parallelism parity tests rely on
+    this — only f64 separates schedule bugs from reassociation noise)."""
+    dtype = jnp.promote_types(outs[0].obj.dtype, jnp.float32)
+    anchors = jnp.asarray(anchors).astype(dtype)
     batch = outs[0].obj.shape[0]
-    bbox_losses = jnp.zeros((batch,), jnp.float32)
-    obj_losses = jnp.zeros((batch,), jnp.float32)
+    bbox_losses = jnp.zeros((batch,), dtype)
+    obj_losses = jnp.zeros((batch,), dtype)
 
     for h, (out, grid) in enumerate(zip(outs, target_grids)):
         scaled_anchors = anchors[h] / head_scales[h]  # (A, 2) grid units
 
-        p_bbox = out.bbox.astype(jnp.float32)  # (B, A, S, S, 4)
-        p_obj = out.obj.astype(jnp.float32)[..., 0]  # (B, A, S, S)
+        p_bbox = out.bbox.astype(dtype)  # (B, A, S, S, 4)
+        p_obj = out.obj.astype(dtype)[..., 0]  # (B, A, S, S)
+        grid = jnp.asarray(grid).astype(dtype)
         t_obj = grid[..., 0]
         t_bbox_raw = grid[..., 1:5]
         pos = t_obj == 1.0

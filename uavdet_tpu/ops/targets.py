@@ -42,7 +42,7 @@ def _encode_one_head(boxes_cxcywh: jnp.ndarray, mask: jnp.ndarray,
     → (A, size, size, 5) grid [obj, off_cx, off_cy, grid_w, grid_h].
     """
     n_anchors = anchors.shape[0]
-    grid = jnp.zeros((n_anchors, size, size, 5), dtype=jnp.float32)
+    grid = jnp.zeros((n_anchors, size, size, 5), dtype=boxes_cxcywh.dtype)
     arange_a = jnp.arange(n_anchors)
 
     def body(i, grid):
@@ -60,7 +60,8 @@ def _encode_one_head(boxes_cxcywh: jnp.ndarray, mask: jnp.ndarray,
 
         write = ((best_iou >= 0.5) | is_best) & mask[i]
         obj = jnp.where(ious >= 0.5, 1.0,
-                        jnp.where(is_best & (best_iou < 0.5), 1.0, 0.0))
+                        jnp.where(is_best & (best_iou < 0.5), 1.0, 0.0)
+                        ).astype(grid.dtype)
         vals = jnp.concatenate(
             [obj[:, None], jnp.broadcast_to(coords, (n_anchors, 4))], axis=-1)
 
@@ -100,9 +101,15 @@ def encode_yolo_targets(boxes_xyxy: jnp.ndarray, box_mask: jnp.ndarray,
                 reference params.yaml:38-56); normalized here by
                 ``input_size`` exactly as AntiUAVDataset.py:27.
     → tuple of H arrays (B, A, S_h, S_h, 5).
+
+    Encoding dtype follows the boxes, floored at float32 — f64 boxes
+    produce f64 grids (exact-parity test paths), anything lower-precision
+    is raised to the reference's f32.
     """
-    anchors = jnp.asarray(anchors, jnp.float32) / input_size
-    boxes_cxcywh = box_convert(boxes_xyxy, "xyxy", "cxcywh")
+    dtype = jnp.promote_types(jnp.asarray(boxes_xyxy).dtype, jnp.float32)
+    anchors = jnp.asarray(anchors).astype(dtype) / input_size
+    boxes_cxcywh = box_convert(jnp.asarray(boxes_xyxy).astype(dtype),
+                               "xyxy", "cxcywh")
     sizes = head_sizes(input_size, head_scales)
 
     out = []

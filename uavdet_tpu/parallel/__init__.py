@@ -10,3 +10,11 @@ from .mesh import (
 )
 from .multihost import (init_multihost, local_batch_rows, put_state,
                         shard_host_batch)
+from .pipeline import (
+    PipelinedModel,
+    make_pp_loss,
+    make_pp_mesh,
+    make_pp_train_step,
+    pp_shardings,
+    split_tokens,
+)

@@ -39,11 +39,15 @@ The reference has NO multi-device code (SURVEY §2.6: no DDP/FSDP/TP/PP —
   batch dim also shards over 'ep' (``BATCH_AXES``), so ep devices stay
   data-parallel for the non-expert layers.
 
-Deliberately absent: pipeline parallelism. The flagship's weights are
-~27 MB — every chip holds them for free (and 'fsdp' already shards them
-if wanted), activations dominate memory and 'sp'/'data' shard those;
-splitting a 20-layer CNN into stages would only add bubble overhead
-with nothing to hide. (The scaling-book recipe: pick the axes the
+Pipeline parallelism ('pp') lives in ``parallel.pipeline`` as a separate
+1-axis mesh (``train.trainer.pp_devices``), NOT as a fifth axis here —
+and it is NOT recommended for the shipped detectors: their weights are
+~27 MB (every chip holds them for free; 'fsdp' already shards them if
+wanted), activations dominate memory and 'sp'/'data' shard those, so
+splitting a 20-layer CNN into stages only adds bubble overhead with
+nothing to hide. 'pp' exists for the regimes where it is the right axis
+(deep stacked variants, param-heavy models) and to complete the
+parallelism matrix. (The scaling-book recipe: pick the axes the
 workload is actually bound by.)
 
 Config surface: ``train.trainer.devices`` (reference params.yaml:28) is

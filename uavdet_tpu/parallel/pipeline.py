@@ -306,10 +306,24 @@ class PipelinedModel:
         submodule (models/dy_yolo.py) — descend into it when present."""
         return col["net"] if set(col.keys()) == {"net"} else col
 
+    @classmethod
+    def from_hparams(cls, hparams, n_stages: int,
+                     dtype: Any = None) -> "PipelinedModel":
+        """Build from a model hparams block (params.yaml `model.hparams`) —
+        same fields the registry reads (models/registry.py)."""
+        get = (hparams.get if hasattr(hparams, "get")
+               else lambda k, d: getattr(hparams, k, d))
+        return cls(hparams.layer_config, n_stages,
+                   n_anchors=len(hparams.anchors[0]),
+                   attn_temperature=float(get("attn_temperature", 30.0)),
+                   dtype=dtype)
+
     def split_variables(self, variables) -> List[dict]:
         """Select each stage's key-subset out of a full ``YOLOInterpreter``
         (or DyYOLO/BaselineModel) variable tree (names match by
-        construction)."""
+        construction). Records whether the tree was 'net'-nested so
+        ``to_model_variables`` can invert the split."""
+        self._nested = set(variables["params"].keys()) == {"net"}
         params = self._descend(variables["params"])
         stats = self._descend(variables.get("batch_stats", {}))
         out = []
@@ -318,6 +332,16 @@ class PipelinedModel:
                 "params": {k: params[k] for k in keys},
                 "batch_stats": {k: stats[k] for k in keys if k in stats}})
         return out
+
+    def to_model_variables(self, stage_variables: Sequence[dict]) -> dict:
+        """Inverse of ``split_variables``: merge per-stage trees back into
+        a flagship-model variable dict (re-nesting under 'net' when the
+        split source was nested — the DyYOLO/BaselineModel layout)."""
+        v = self.merge_variables(stage_variables)
+        if getattr(self, "_nested", False):
+            return {"params": {"net": v["params"]},
+                    "batch_stats": {"net": v["batch_stats"]}}
+        return v
 
     def merge_variables(self, stage_variables: Sequence[dict]) -> dict:
         params, stats = {}, {}
@@ -414,7 +438,7 @@ def make_pp_loss(pm: PipelinedModel, mesh: Mesh, hparams, input_size: int,
     M = n_micro
     if dict(mesh.shape).get("pp") != S:
         raise ValueError(f"mesh pp axis {dict(mesh.shape)} != {S} stages")
-    anchors = np.asarray(hparams.anchors, np.float32)
+    anchors = np.asarray(hparams.anchors, np.dtype(compute_dtype))
     weights = _loss_weights(hparams)
     scales = pm.head_scales(input_size)
 
@@ -478,10 +502,13 @@ def make_pp_loss(pm: PipelinedModel, mesh: Mesh, hparams, input_size: int,
             grids = encode_yolo_targets(bx, mk, anchors, scales,
                                         input_size)
             lb = yolo_loss(list(dets), grids, anchors, scales, **weights)
-            harvest = ((s == S - 1) & active).astype(compute_dtype)
+            # SELECT the harvested value (not mask-multiply): on the S-1
+            # non-harvest devices yolo_loss runs on a reinterpreted
+            # activation buffer, and 0 * inf/nan would poison the psum
+            harvest = (s == S - 1) & active
             acc = jax.tree.map(
-                lambda a, v: a + (harvest * v).astype(a.dtype), acc,
-                (lb.total, lb.bbox, lb.obj))
+                lambda a, v: a + jnp.where(harvest, v, 0.0).astype(a.dtype),
+                acc, (lb.total, lb.bbox, lb.obj))
 
             buf = lax.ppermute(new_buf, "pp",
                                [(i, i + 1) for i in range(S - 1)])
@@ -539,3 +566,79 @@ def make_pp_train_step(pm: PipelinedModel, mesh: Mesh, tx, hparams,
         return (new_pvec, new_svec, new_opt), metrics
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Trainer-facing surface (train.trainer.pp_devices)
+
+def pp_state_shardings(state, mesh: Mesh):
+    """NamedShardings for a PACKED pp TrainState: every (S, X) leaf (packed
+    params / batch-stats / elementwise optimizer state) lives one stage
+    row per device; scalars (step counters, MultiSteps counts) replicate."""
+    S = dict(mesh.shape)["pp"]
+    row = NamedSharding(mesh, P("pp", None))
+    rep = NamedSharding(mesh, P())
+
+    def spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 2 and leaf.shape[0] == S:
+            return row
+        return rep
+
+    return jax.tree.map(spec, state)
+
+
+def make_pp_trainer_step(pm: PipelinedModel, mesh: Mesh, tx, hparams,
+                         input_size: int, n_micro: int,
+                         stage_variables_template,
+                         compute_dtype=jnp.float32):
+    """The Trainer-shaped pipelined step: ``(TrainState, BatchData) ->
+    (TrainState, metrics)`` where the TrainState holds the PACKED
+    representation (params=(S, Pmax) pvec, batch_stats=(S, Qmax) svec).
+    Each incoming batch is split into ``n_micro`` microbatches along the
+    batch dim and streamed through the pipeline (loss = mean over
+    microbatches — the collective-pipelining schedule)."""
+    import optax
+
+    loss_fn = make_pp_loss(pm, mesh, hparams, input_size, n_micro,
+                           stage_variables_template, compute_dtype)
+
+    def step(state, batch):
+        b = batch.image.shape[0]
+        mb = b // n_micro
+        imgs = batch.image.astype(compute_dtype).reshape(
+            n_micro, mb, *batch.image.shape[1:])
+        boxes = batch.boxes.reshape(n_micro, mb, *batch.boxes.shape[1:])
+        mask = batch.box_mask.reshape(n_micro, mb,
+                                      *batch.box_mask.shape[1:])
+        (_, (new_svec, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   imgs, boxes, mask)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_pvec = optax.apply_updates(state.params, updates)
+        from ..utils.datatypes import TrainState
+        return TrainState(params=new_pvec, batch_stats=new_svec,
+                          opt_state=new_opt, step=state.step + 1), metrics
+
+    return jax.jit(step)
+
+
+def make_pp_eval_step(pm: PipelinedModel, model, hparams, input_size: int,
+                      stage_variables_template, compute_dtype=jnp.float32):
+    """Eval step over the packed pp state: unpacks the (S, Pmax)/(S, Qmax)
+    rows back into flagship variables inside the jitted program (XLA
+    gathers the stage rows once) and reuses the standard eval loss."""
+    from ..training.steps import make_eval_step
+    from ..utils.datatypes import TrainState
+
+    base = make_eval_step(model, hparams, input_size, compute_dtype)
+
+    @jax.jit
+    def eval_step(state, batch):
+        svars = pm.unpack_params(state.params, state.batch_stats,
+                                 stage_variables_template)
+        v = pm.to_model_variables(svars)
+        st = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                        opt_state=None, step=state.step)
+        return base(st, batch)
+
+    return eval_step
