@@ -36,10 +36,17 @@ ANCHORS = [[[40, 30], [60, 46], [54, 36]],
            [[6, 5], [10, 6], [13, 8]]]
 
 
+# CPU-pinned subprocesses must NOT see the axon TPU plugin: its
+# registration connects to the single remote-compile tunnel at import
+# time, so a concurrent TPU job (bench/probe on the real chip) blocks
+# the subprocess into its timeout even though it never uses the TPU.
+_PP = os.pathsep.join(p for p in os.environ.get(
+    "PYTHONPATH", "").split(os.pathsep) if p and ".axon_site" not in p)
+
+
 def _run(script, wd, *args):
     env = dict(os.environ, JAX_PLATFORMS="cpu", UAVDET_PLATFORM="cpu",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get(
-                   "PYTHONPATH", ""))
+               PYTHONPATH=REPO + os.pathsep + _PP)
     return subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
         cwd=wd, env=env, capture_output=True, text=True, timeout=900)

@@ -59,10 +59,16 @@ def workdir(tmp_path_factory):
     return wd
 
 
+# axon-free PYTHONPATH: the TPU plugin's import-time tunnel connection
+# would block CPU-pinned subprocesses whenever the chip is busy
+_PP = os.pathsep.join(p for p in os.environ.get(
+    "PYTHONPATH", "").split(os.pathsep) if p and ".axon_site" not in p)
+
+
 def _run(script, wd, *args):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                UAVDET_PLATFORM="cpu",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+               PYTHONPATH=REPO + os.pathsep + _PP)
     return subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
         cwd=wd, env=env, capture_output=True, text=True, timeout=900)

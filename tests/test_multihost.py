@@ -196,7 +196,9 @@ def test_two_process_cluster_matches_single_device(rng, tmp_path):
     script.write_text(WORKER)
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + os.pathsep + os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)  # axon-free: no tunnel block
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [subprocess.Popen(
         [sys.executable, str(script), coord, str(pid)],
@@ -283,7 +285,9 @@ def test_two_process_trainer_fit(dataset_root, tmp_path):
     script.write_text(TRAINER_WORKER)
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + os.pathsep + os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)  # axon-free: no tunnel block
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [subprocess.Popen(
         [sys.executable, str(script), coord, str(pid), dataset_root,

@@ -59,7 +59,18 @@ RA = 128         # L1 rows per kernel-A strip (the kernels are
                  # per-program-overhead-bound — bigger strips win)
 
 
-def make_l1_kernel(wq: int, h: int, n_a: int):
+def make_l1_kernel(wq: int, h: int, n_a: int, dot_mode: int = 0):
+    """``dot_mode`` (perf experiment, VERDICT r4 item 3b — all modes are
+    BITWISE-equal, see pallas_l1):
+      0  four (32,28)@(28,HALF,WB) rank-3 dots (the shipped form)
+      1  four rank-2 dots: the staged patches are explicitly pre-flattened
+         to (28, HALF·WB) so Mosaic lowers a plain 2-D matmul instead of
+         its internal rank-3 rhs reshape
+      2  ONE block-diagonal dot (128,112)@(112, HALF·WB): the four
+         quadrants stack along M so the MXU's M=128 padding does real
+         work (the r3 K-packed attempt, but with the rank-2 rhs its
+         neutrality was blamed on). Requires no row-overhang
+         (h % 128 == 0) — the caller gates this."""
     # The input DMA is double-buffered over the GLOBAL strip counter
     # (measured r3: the original start+wait-in-place serialization cost
     # ~1.4 ms of the kernel's 5.6 — the DMA latency was never hidden).
@@ -169,10 +180,19 @@ def make_l1_kernel(wq: int, h: int, n_a: int):
         # element-type verification failure)
         def quad_out(par, gam, p1_ref):
             stage(par, gam, p1_ref)
-            acc1 = jax.lax.dot_general(
-                k1_ref[0], p1_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (32, HALF, WB)
+            if dot_mode == 1:
+                # rank-2 rhs: pre-flatten (28, HALF, WB) → (28, HALF·WB)
+                # so the dot is a plain 2-D matmul; un-merge after
+                acc1 = jax.lax.dot_general(
+                    k1_ref[0], p1_ref[...].reshape(28, HALF * WB),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                ).reshape(32, HALF, WB)
+            else:
+                acc1 = jax.lax.dot_general(
+                    k1_ref[0], p1_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (32, HALF, WB)
             xl1 = acc1 * jax.nn.sigmoid(acc1)
             if (h - par + 1) // 2 % HALF != 0:
                 # zero rows beyond the image (planes are over-allocated).
@@ -192,6 +212,36 @@ def make_l1_kernel(wq: int, h: int, n_a: int):
         srow = jnp.zeros((32, HALF), jnp.float32)
         scratches = (p1a_ref, p1b_ref, p1c_ref, p1d_ref)
         outs = (oee_ref, oeo_ref, ooe_ref, ooo_ref)
+        if dot_mode == 2:
+            # ONE block-diagonal dot: quadrants stacked along M (the lhs
+            # is kron-placed k1, extra accumulation terms are EXACT
+            # zeros → bitwise-equal to mode 0). Row overhang unsupported
+            # (caller gates on h % 128 == 0, so the mask is compile-time
+            # absent here anyway).
+            for q, (par, gam) in enumerate(((0, 0), (0, 1), (1, 0),
+                                            (1, 1))):
+                stage(par, gam, scratches[q])
+            # pad K 112→128 with EXPLICIT zero rows: Mosaic's implicit
+            # tile padding of a K=112 contraction reads undefined VMEM
+            # (measured: 178/52M one-ULP flips), defined zeros are exact
+            rhs = jnp.concatenate(
+                [r[...].reshape(28, HALF * WB) for r in scratches]
+                + [jnp.zeros((16, HALF * WB), jnp.bfloat16)],
+                axis=0)                                    # (128, HALF·WB)
+            acc = jax.lax.dot_general(
+                k1_ref[0], rhs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (128, HALF·WB)
+            xq = acc * jax.nn.sigmoid(acc)
+            for q in range(4):
+                v = xq[32 * q:32 * (q + 1)].reshape(
+                    32, HALF, WB).astype(jnp.bfloat16)
+                outs[q][0] = v
+                srow = srow + jnp.sum(v[:, :, :wq].astype(jnp.float32),
+                                      axis=2)
+            stot = jnp.sum(srow, axis=1, keepdims=True)    # (32, 1)
+            sums_ref[0, 0] = jnp.pad(stot, ((0, 0), (0, 127)))
+            return
         for q, (par, gam) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
             v = quad_out(par, gam, scratches[q])
             outs[q][0] = v
@@ -335,16 +385,25 @@ def make_l2_kernel(wq: int, tr2: int, half_out: int = None):
     return kern
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_l1(x, k1_aug, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "dot_mode"))
+def pallas_l1(x, k1_aug, interpret: bool = False, dot_mode: int = None):
     """x (B,H,W,3) → (xl1: a 4-tuple of (B,32,Hp/2,W/2) bf16
     channel-major QUAD-FOLDED bank arrays, bank q = 2·row_par + col_par,
     and channel sums (B,32) f32). W must be even (the stem gate
     guarantees it).
 
     Hp = H rounded up to 64 plus 24 over-allocated rows for kernel B's
-    aligned windows (content beyond H is zero)."""
+    aligned windows (content beyond H is zero).
+
+    ``dot_mode`` (default env UAVDET_L1_DOT_MODE or 0): the kernel-A dot
+    decomposition experiment — see make_l1_kernel. All modes bitwise-
+    equal; mode 2 needs h % 128 == 0 (falls back to 0 otherwise)."""
+    import os
+    if dot_mode is None:
+        dot_mode = int(os.environ.get("UAVDET_L1_DOT_MODE", "0"))
     b, h, w, _ = x.shape
+    if dot_mode == 2 and h % 128:
+        dot_mode = 0  # row-overhang mask unsupported in the fused dot
     # H must be even too: the beyond-image row-mask skip tests PER-PARITY
     # row-count divisibility ((h±1)//2 % 64), which for odd H can pass
     # while the strip grid still overhangs — silu(bias) garbage would
@@ -395,11 +454,25 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
                              lambda bi, ai: (bi, 0, ai, 0),
                              memory_space=pltpu.VMEM)
 
+    k1_in = k1_aug.astype(jnp.bfloat16)
+    k1_block = (1, 32, 28)
+    if dot_mode == 2:
+        # kron-place k1 into the (128, 112) block-diagonal lhs: output
+        # rows 32q..32q+32 contract only against K rows 28q..28q+28
+        # (quadrant q's staged patches); the off-block zeros contribute
+        # exact zeros to the f32 accumulation
+        k1bd = jnp.zeros((k1_in.shape[0], 128, 128), jnp.bfloat16)
+        for q in range(4):
+            k1bd = k1bd.at[:, 32 * q:32 * (q + 1),
+                           28 * q:28 * (q + 1)].set(k1_in)
+        k1_in = k1bd
+        k1_block = (1, 128, 128)
+
     *xl1, strip_sums = pl.pallas_call(
-        make_l1_kernel(wq, h, n_a),
+        make_l1_kernel(wq, h, n_a, dot_mode),
         grid=(b, n_a),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
-            pl.BlockSpec((1, 32, 28), lambda bi, ai: (bi, 0, 0),
+            pl.BlockSpec(k1_block, lambda bi, ai: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[bank_spec] * 4 + [
@@ -431,7 +504,7 @@ def pallas_l1(x, k1_aug, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(*planes, k1_aug.astype(jnp.bfloat16))
+    )(*planes, k1_in)
     # GAP = Σ strips of the in-kernel per-strip channel sums (a few KB)
     # instead of an XLA reduce that re-reads the whole activation
     sums = jnp.sum(strip_sums[:, :, :, 0], axis=1)
@@ -500,7 +573,8 @@ def pallas_l2(xl1, k2_aug, h: int, wq: int,
 
 
 def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
-                       attn_temp: float, interpret: bool = False):
+                       attn_temp: float, interpret: bool = False,
+                       folded: bool = False):
     """Full two-pass fused stem from DyYOLO parameter trees.
 
     x: (B, H, W, 3) — either preprocessed frames in [0, 1] (any float
@@ -553,12 +627,22 @@ def fused_stem_forward(x, dy0_params, dy0_stats, dy1_params, dy1_stats,
                       bn1p["bias"], bn1s["mean"], bn1s["var"],
                       out_channels=64)
 
+    if folded:
+        # parity-folded output for the folded early stage (ops/fold_early):
+        # fold straight from the raw channel-major kernel output — ONE
+        # transpose, replacing the NHWC transpose, so the fold relayout
+        # is free relative to the unfolded path
+        from .fold_early import fold_cm
+        cm = pallas_l2(xl1, k2, h=h, wq=w // 2, raw_cm=True,
+                       interpret=interpret)
+        return fold_cm(cm, h // 2, w // 2)
     return pallas_l2(xl1, k2, h=h, wq=w // 2, interpret=interpret)
 
 
 def detector_stem_fast_path(model, variables, layer_config, attn_temp,
                             interpret: bool = False,
-                            input_size: int = None):
+                            input_size: int = None,
+                            fold_early: bool = False):
     """Build the Pallas-stem fast path for a DyYOLO-style detector.
 
     Returns (stem_fn, tail_model, tail_variables) where
@@ -613,5 +697,21 @@ def detector_stem_fast_path(model, variables, layer_config, attn_temp,
     def stem_fn(x):
         return fused_stem_forward(x, dy0p, dy0s, dy1p, dy1s, attn_temp,
                                   interpret=interpret)
+
+    if fold_early:
+        # consume the tail's [B,1] + [128,3,2] tokens into the
+        # parity-folded early stage (ops/fold_early): the stem emits the
+        # folded layout straight from the kernels' channel-major output
+        # (one transpose either way) and the early convs run lane-dense
+        from .fold_early import fold_early_fast_path
+        got = fold_early_fast_path(tail_model, tail_variables)
+        if got is not None:
+            early_fn, tail_model, tail_variables = got
+
+            def stem_fn(x):  # noqa: F811 — folded variant
+                xf = fused_stem_forward(x, dy0p, dy0s, dy1p, dy1s,
+                                        attn_temp, interpret=interpret,
+                                        folded=True)
+                return early_fn(xf)
 
     return stem_fn, tail_model, tail_variables
