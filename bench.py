@@ -119,8 +119,13 @@ def _dual_stream_bench(name, hparams, batch, input_size, iters, warmup,
           "[cfg2 rgb+ir dual-stream]", 2 * batch * iters / dt)
 
 
-def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False):
-    """RTMUAVDet pipeline (config 4) / training loop (config 5)."""
+def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False,
+                        fold=True):
+    """RTMUAVDet pipeline (config 4) / training loop (config 5).
+
+    ``fold`` (detect only): run the stem + CSP base conv via the folded
+    front (ops/fold_rtm) — the 32-ch @H/2 stem map, 4x lane-padded,
+    never materializes. --no-pallas-stem is the A/B switch."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -139,10 +144,22 @@ def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False):
         0, 256, size=(batch, input_size, input_size, 3), dtype=np.uint8))
 
     if not train_loop:
+        if fold:
+            from uavdet_tpu.ops.fold_rtm import fold_rtm_front
+            front = fold_rtm_front(variables, dtype=jnp.bfloat16)
+            folded_model = RTMUAVDet(anchors=anchors,
+                                     det_scales=det_scales,
+                                     stem_folded=True, dtype=jnp.bfloat16)
+
         @jax.jit
         def detect(variables, images):
-            x = preprocess(images, input_size, jnp.bfloat16)
-            outs = model.apply(variables, x, train=False)
+            if fold:
+                # uint8 straight in — the /255 is folded into the kernel
+                outs = folded_model.apply(variables, front(images),
+                                          train=False)
+            else:
+                x = preprocess(images, input_size, jnp.bfloat16)
+                outs = model.apply(variables, x, train=False)
             boxes, scores = [], []
             for h, o in enumerate(outs):
                 stride = input_size // det_scales[h]
@@ -469,7 +486,8 @@ def main():
                         # fold_input_stem exactly as for cfg2's stem)
                         pallas_stem=not args.no_pallas_stem)
     elif args.config == 4:
-        _rtm_detector_bench(8, 640, args.iters, args.warmup)
+        _rtm_detector_bench(8, 640, args.iters, args.warmup,
+                            fold=not args.no_pallas_stem)
     elif args.config == 5:
         _rtm_detector_bench(8, 640, args.iters, args.warmup,
                             train_loop=True)

@@ -171,14 +171,18 @@ class MDyCSPModule(nn.Module):
     out_channels: int
     reduction_ratio: int = 2
     dy_channel_size: int | None = None
+    skip_base: bool = False  # input IS base_conv's output (folded front)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        in_c = x.shape[-1]
-        base_out = in_c * 2
-        x = RTMConvModule(base_out, (3, 3), (2, 2), padding=(1, 1),
-                          dtype=self.dtype, name="base_conv")(x, train)
+        if self.skip_base:
+            base_out = x.shape[-1]
+        else:
+            in_c = x.shape[-1]
+            base_out = in_c * 2
+            x = RTMConvModule(base_out, (3, 3), (2, 2), padding=(1, 1),
+                              dtype=self.dtype, name="base_conv")(x, train)
         half = base_out // self.reduction_ratio
         x1 = RTMConvModule(half, (1, 1), dtype=self.dtype,
                            name="conv1")(x, train)
@@ -291,15 +295,24 @@ class RTMUAVDet(nn.Module):
     anchors: Tuple[Tuple[Tuple[float, float], ...], ...]
     input_channels: int = 3
     det_scales: Tuple[int, ...] = (160, 80)
+    stem_folded: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype or jnp.float32
         x = x.astype(dt)
-        x1 = StemLayer(32, dtype=dt, name="stem")(x, train)
-        x1 = MDyCSPModule(128, dy_channel_size=128, dtype=dt,
-                          name="MDyCSP_1")(x1, train)
+        if self.stem_folded:
+            # inference fast path: x is MDyCSP_1.base_conv's output,
+            # produced by ops.fold_rtm.fold_rtm_front — the 4x-lane-
+            # padded 32-ch @H/2 stem map never materializes. Same
+            # variable tree (stem/base_conv params simply not visited).
+            x1 = MDyCSPModule(128, dy_channel_size=128, skip_base=True,
+                              dtype=dt, name="MDyCSP_1")(x, train)
+        else:
+            x1 = StemLayer(32, dtype=dt, name="stem")(x, train)
+            x1 = MDyCSPModule(128, dy_channel_size=128, dtype=dt,
+                              name="MDyCSP_1")(x1, train)
         x2 = MDyCSPModule(256, dtype=dt, name="MDyCSP_2")(x1, train)
         x1, x2 = MFDFEncoderModule(128, 256, dtype=dt,
                                    name="neck")(x1, x2, train)
