@@ -92,22 +92,23 @@ def main():
             if isinstance(o, (list, tuple)) else \
             float(o[0, 0, 0, 0].astype(jnp.float32))
 
-    front_j = jax.jit(front)
+    # Each prefix program runs front IN-PROGRAM from the uint8 input —
+    # true same-program prefixes (the r3 methodology), and the 3.4 GB
+    # front output (32x640x640x128 bf16) is never held live across
+    # programs (holding it OOMed the first version of this probe).
+    front_j = jax.jit(lambda u8: jnp.sum(front(u8).astype(jnp.float32)))
     times = {"P0 (front)": t("P0 front (fold_input_stem)",
                              lambda: front_j(imgs),
-                             lambda o: float(o[0, 0, 0, 0]
-                                             .astype(jnp.float32)))}
-    xf = front_j(imgs)
-    _ = np.asarray(jnp.ravel(xf)[:1])
+                             lambda o: float(o))}
 
+    xf1 = jax.jit(front)(imgs[:1])  # init-shape sample only
     for n, with_head in ((1, False), (2, False), (3, False), (3, True)):
         name = f"P{n} (front+{n} soems" + \
             ("+neck+head)" if with_head else ")")
         mod = Prefix(n=n, with_head=with_head)
-        vs = mod.init(jax.random.key(1), xf[:1])
-        fn = jax.jit(lambda v, z, mod=mod: mod.apply(v, z))
-        times[name] = times["P0 (front)"] + t(
-            name, lambda: fn(vs, xf), sync_det)
+        vs = mod.init(jax.random.key(1), xf1)
+        fn = jax.jit(lambda v, u8, mod=mod: mod.apply(v, front(u8)))
+        times[name] = t(name, lambda: fn(vs, imgs), sync_det)
 
     p = list(times.values())
     print("\n--- cfg3 section table (ms, in-context deltas) ---")

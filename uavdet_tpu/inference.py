@@ -382,8 +382,13 @@ def make_detector(model, hparams, input_size: int,
     # 4×-lane-padded full-res stem activation never materializes — the
     # fix that lets cfg3 run its real bs=32 @1280 in one program. See
     # fold_input_stem's docstring.
+    # (type-gated: RTMUAVDet also carries a `stem_folded` flag since its
+    # own folded front landed (ops/fold_rtm), but its decode
+    # parameterization is not the YOLO one this detector builds — RTM
+    # stays hand-wired in bench.py, matching its not-dispatchable status)
+    from .models.dysoem_simfpn import DySOEM_SimFPN as _DySOEM
     if (pallas_stem_variables is not None and stem is None
-            and hasattr(model, "stem_folded") and not model.stem_folded
+            and isinstance(model, _DySOEM) and not model.stem_folded
             and input_size % 2 == 0):
         from .models.dysoem_simfpn import fold_input_stem
         front = fold_input_stem(pallas_stem_variables,

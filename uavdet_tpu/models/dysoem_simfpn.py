@@ -189,9 +189,18 @@ class DynamicSOEM(nn.Module):
         y = _ExpertsConv(self.num_dy_conv * out_c, ks, in_attn,
                          dtype=self.dtype, name="experts")(
             (x if fused else f).astype(dt), k, fused)
-        b, hh, ww, _ = y.shape
-        y = y.reshape(b, hh, ww, self.num_dy_conv, out_c)
-        y = jnp.einsum("bhwec,be->bhwc", y, attn.astype(y.dtype))
+        # contract the expert axis as a batched matmul against attn ⊗ I —
+        # the reshape-free formulation from DyConvModule (layers.py:237):
+        # splitting the lane dim for a 5D einsum forces XLA to relayout
+        # the E·out_c-wide expert map (5 GB at cfg3's soem_0); the ⊗ I
+        # matmul reads it in place. Reassociation-level equal (the extra
+        # terms are exact zeros; summation order differs) — the plain/
+        # fused parity test tolerances already cover it.
+        b = y.shape[0]
+        eye = jnp.eye(out_c, dtype=y.dtype)
+        mix = jnp.einsum("be,oq->beoq", attn.astype(y.dtype), eye).reshape(
+            b, self.num_dy_conv * out_c, out_c)
+        y = jnp.einsum("bhwc,bco->bhwo", y, mix)
 
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(y)
@@ -283,10 +292,13 @@ class SimplifiedFPN(nn.Module):
             return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
         dt = self.dtype
-        center = x1 + nn.Conv(c1, (1, 1), name="x2_in_down",
-                              dtype=dt)(up2(x2)) + x1
-        x0 = x0 + nn.Conv(c0, (1, 1), name="center_down",
-                          dtype=dt)(up2(center))
+        # conv BEFORE upsample: a 1x1 conv is per-pixel, so it commutes
+        # with nearest upsample BITWISE — conving at the low resolution
+        # reads 4x fewer bytes (and 4x fewer MACs). Same variable tree.
+        center = x1 + up2(nn.Conv(c1, (1, 1), name="x2_in_down",
+                                  dtype=dt)(x2)) + x1
+        x0 = x0 + up2(nn.Conv(c0, (1, 1), name="center_down",
+                              dtype=dt)(center))
         x1 = center + nn.Conv(c1, (1, 1), strides=(2, 2),
                               name="x0_out_up", dtype=dt)(x0)
         x2 = x2 + nn.Conv(c2, (1, 1), strides=(2, 2), name="x1_out_up",

@@ -59,6 +59,11 @@ class YOLOInterpreter(nn.Module):
     layer_config: Tuple[Any, ...]
     n_anchors: int = 3
     attn_temperature: float = 30.0
+    stop_after: int | None = None  # run only the first N tokens and
+    # return the feature map (no YOLOHead; used by ops/fold_early's
+    # trainable fold to run the stem prefix with the full model's
+    # parameter names — compact auto-numbering depends only on
+    # creation order, which a config prefix preserves)
     dtype: Any = None  # jnp dtype; None → float32
 
     @nn.compact
@@ -69,7 +74,7 @@ class YOLOInterpreter(nn.Module):
         outs = []
         routes = []
 
-        for tok in self.layer_config:
+        for i, tok in enumerate(self.layer_config):
             if tok[0] == "B":
                 n = tok[1]
                 x = ResidualBlock(x.shape[-1], num_repeats=n,
@@ -97,6 +102,8 @@ class YOLOInterpreter(nn.Module):
                 x = CNNBlock(out_c, kernel_size=(k, k), stride=(s, s),
                              padding=1 if k == 3 else 0,
                              dtype=dtype)(x, train)
+            if self.stop_after is not None and i + 1 == self.stop_after:
+                return x
 
         return YOLOHead(self.n_anchors, len(outs), dtype=dtype,
                         name="yolo_head")(outs)

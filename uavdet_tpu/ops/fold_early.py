@@ -232,3 +232,181 @@ def fold_early_fast_path(tail_model, tail_variables):
         attn_temperature=tail_model.attn_temperature,
         n_anchors=tail_model.n_anchors, dtype=tail_model.dtype)
     return early_fn, tail2_model, tail2_variables
+
+
+# ---------------------------------------------------------------------------
+# TRAINABLE fold: the same folded layout in the training step
+# ---------------------------------------------------------------------------
+
+def _prefix_class_counts(cfg_prefix):
+    """Module-creation counts per interpreter class for a config prefix
+    (flax @nn.compact auto-numbering depends only on creation order)."""
+    counts = {"DyConvModule_": 0, "ResidualBlock_": 0, "CNNBlock_": 0,
+              "ScalePrediction_": 0}
+    for tok in cfg_prefix:
+        if tok[0] == "B":
+            counts["ResidualBlock_"] += 1
+        elif tok[0] == "S":
+            counts["ResidualBlock_"] += 1
+            counts["CNNBlock_"] += 1
+            counts["ScalePrediction_"] += 1
+        elif tok[0] == "U":
+            pass
+        elif tok[0] == "DyConv":
+            counts["DyConvModule_"] += 1
+        else:
+            counts["CNNBlock_"] += 1
+    return counts
+
+
+def _shift_name(name, counts, sign):
+    for pref, n in counts.items():
+        tail = name[len(pref):]
+        if n and name.startswith(pref) and tail.isdigit():
+            return f"{pref}{int(tail) + sign * n}"
+    return name
+
+
+def _bn_train_folded(y, p, s, dt, tile, momentum=0.9, eps=1e-5):
+    """flax BatchNorm train-mode semantics on a quadrant-folded map.
+
+    Batch statistics per ORIGINAL channel are means over (batch, space,
+    quadrant-group) — the identical element population the unfolded BN
+    reduces, summed tile-first (reassociation-level equal). Mirrors
+    flax `_compute_stats` (force_float32_reductions promotion, the
+    fast-variance mean²-of-x formula, the max(0,·) clip) and
+    `_normalize` (x - mean at binop-promoted dtype, rsqrt·scale
+    multiply, one canonicalized cast) — see normalization.py in the
+    installed flax. Returns (normalized, new_stats)."""
+    from flax.linen import dtypes as _fld
+
+    c = s["mean"].shape[0]
+    pt = jnp.promote_types(dt or jnp.result_type(y), jnp.float32)
+    xp = y.astype(pt)
+    mu_t = jnp.mean(xp, axis=(0, 1, 2))
+    mu2_t = jnp.mean(xp * xp, axis=(0, 1, 2))
+    if tile > 1:
+        mu = jnp.mean(mu_t.reshape(tile, c), axis=0)
+        mu2 = jnp.mean(mu2_t.reshape(tile, c), axis=0)
+    else:
+        mu, mu2 = mu_t, mu2_t
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    new_stats = {"mean": momentum * s["mean"] + (1 - momentum) * mu,
+                 "var": momentum * s["var"] + (1 - momentum) * var}
+
+    def t(v):
+        return jnp.tile(v, tile) if tile > 1 else v
+
+    out = y - t(mu)
+    mul = jax.lax.rsqrt(t(var) + eps) * t(p["scale"])
+    out = out * mul + t(p["bias"])
+    out = jnp.asarray(out, _fld.canonicalize_dtype(y, p["scale"], p["bias"],
+                                                   dtype=dt))
+    return out, new_stats
+
+
+def fold_early_train_apply(model):
+    """Trainable parity-folded early stage for interpreter models
+    (DyYOLO / BaselineModel): tokens [2:4] must be ["B",1] + [C,3,2].
+
+    Returns ``apply(variables, x) -> (outs, batch_stats)`` matching
+    ``model.apply(variables, x, train=True, mutable=['batch_stats'])``
+    up to reassociation (same contractions plus exact-zero kernel
+    blocks; batch statistics reduce the identical element population
+    quadrant-group-first) — f64-parity-tested in tests/test_fold_train.py.
+    Returns None when the config doesn't match.
+
+    Why this exists: the training step pays the same 2-4x lane-padding
+    tax on the 32/64-channel @H/2 maps the inference fold recovers —
+    measured +4.5% on the cfg6 train step (scripts/train_fold_probe.py,
+    PERF.md round-4). Gradients flow to the ORIGINAL parameter tree
+    (kernels are folded in-graph; folding is linear), so checkpoints,
+    the optimizer state, and every other consumer are unchanged.
+    """
+    cfg = [tuple(t) for t in model.layer_config]
+    if len(cfg) < 5 or cfg[2] != ("B", 1):
+        return None
+    t3 = cfg[3]
+    if not (len(t3) == 3 and isinstance(t3[0], int)
+            and t3[1] == 3 and t3[2] == 2):
+        return None
+
+    from ..models.interpreter import YOLOInterpreter
+
+    mdt = getattr(model, "dtype", None)
+    stem = YOLOInterpreter(
+        layer_config=tuple(cfg[:2]), n_anchors=model.n_anchors,
+        attn_temperature=getattr(model, "attn_temperature", 30.0),
+        stop_after=2, dtype=mdt)
+    tail = model.clone(layer_config=tuple(cfg[4:]))
+    counts = _prefix_class_counts(cfg[:4])
+    consumed = {f"{pref}{i}" for pref, n in counts.items()
+                for i in range(n)}
+    # top-level names of the two folded modules (the stem prefix may
+    # itself create CNNBlocks — e.g. the tiny test config — so the
+    # indices are prefix-dependent)
+    rb_name = "ResidualBlock_%d" % _prefix_class_counts(
+        cfg[:2])["ResidualBlock_"]
+    ds_name = "CNNBlock_%d" % _prefix_class_counts(cfg[:3])["CNNBlock_"]
+
+    def rekey(tree, sign):
+        return {_shift_name(k, counts, sign): v for k, v in tree.items()
+                if not (sign < 0 and k in consumed)}
+
+    def middle(p_net, s_net, xf):
+        rb_p = p_net[rb_name]
+        rb_s = s_net[rb_name]
+        ds_p, ds_s = p_net[ds_name], s_net[ds_name]
+        dt = mdt or jnp.float32
+
+        def kern(blk):
+            return blk["Conv_0"]["kernel"]
+
+        k1f = fold_kernel_1x1(kern(rb_p["CNNBlock_0"])).astype(dt)
+        k3f = fold_kernel_3x3_s1(kern(rb_p["CNNBlock_1"])).astype(dt)
+        k2f = fold_kernel_3x3_s2(kern(ds_p)).astype(dt)
+
+        xf = xf.astype(dt)
+        y = _conv(xf, k1f, "VALID")
+        y, st1 = _bn_train_folded(
+            y, rb_p["CNNBlock_0"]["BatchNorm_0"],
+            rb_s["CNNBlock_0"]["BatchNorm_0"], mdt, tile=4)
+        y = jax.nn.leaky_relu(y, negative_slope=0.1)
+        y = _conv(y, k3f, "SAME")
+        y, st3 = _bn_train_folded(
+            y, rb_p["CNNBlock_1"]["BatchNorm_0"],
+            rb_s["CNNBlock_1"]["BatchNorm_0"], mdt, tile=4)
+        y = jax.nn.leaky_relu(y, negative_slope=0.1)
+        xf = xf + y
+        y = _conv(xf, k2f, ((1, 0), (1, 0)))
+        y, st2 = _bn_train_folded(y, ds_p["BatchNorm_0"],
+                                  ds_s["BatchNorm_0"], mdt, tile=1)
+        y = jax.nn.leaky_relu(y, negative_slope=0.1)
+        rb_stats = {"CNNBlock_0": {"BatchNorm_0": st1},
+                    "CNNBlock_1": {"BatchNorm_0": st3}}
+        ds_stats = {"BatchNorm_0": st2}
+        return y, rb_stats, ds_stats
+
+    def apply(variables, x):
+        p_net = variables["params"]["net"]
+        s_net = variables["batch_stats"]["net"]
+        x1, stem_mut = stem.apply(
+            {"params": p_net, "batch_stats": s_net}, x, train=True,
+            mutable=["batch_stats"])
+        xf = fold_nhwc(x1)
+        y, rb_stats, ds_stats = middle(p_net, s_net, xf)
+        tail_vars = {"params": {"net": rekey(p_net, -1)},
+                     "batch_stats": {"net": rekey(s_net, -1)}}
+        outs, tail_mut = tail.apply(tail_vars, y, train=True,
+                                    mutable=["batch_stats"])
+        new_net = dict(s_net)
+        for k in stem_mut["batch_stats"]:
+            if k in new_net:
+                new_net[k] = stem_mut["batch_stats"][k]
+        new_net[rb_name] = rb_stats
+        new_net[ds_name] = ds_stats
+        for k, v in rekey(tail_mut["batch_stats"]["net"], +1).items():
+            new_net[k] = v
+        return outs, {"net": new_net}
+
+    return apply

@@ -56,7 +56,7 @@ def _loss_weights(hparams):
 
 def make_train_step(model, tx, hparams, input_size: int,
                     compute_dtype=jnp.float32, donate: bool = False,
-                    remat=False):
+                    remat=False, fold_early: bool = False):
     """Build the jitted train step: (state, batch) → (state, metrics).
 
     ``donate``: donate the input state's buffers to the output state
@@ -71,14 +71,34 @@ def make_train_step(model, tx, hparams, input_size: int,
     all); a string names a ``jax.checkpoint_policies`` entry, e.g.
     ``'dots_saveable'`` (keep matmul/conv outputs, recompute the cheap
     elementwise chains — the usual sweet spot on TPU).
+
+    ``fold_early``: run the early stage (the [B,1]+[C,3,2] tokens after
+    the two stem tokens) in the parity-folded 2x2→channels layout
+    (ops/fold_early.fold_early_train_apply) — reassociation-level-equal
+    training on the same parameter tree, lane-dense early activations.
+    Silently ignored when the model's config doesn't match.
     """
     anchors = np.asarray(hparams.anchors, np.float32)
     weights = _loss_weights(hparams)
 
-    def fwd(params, batch_stats, x):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, x,
-            train=True, mutable=["batch_stats"])
+    folded = None
+    if fold_early:
+        from ..ops.fold_early import fold_early_train_apply
+        folded = fold_early_train_apply(model)
+
+    if folded is not None:
+        # parity-folded early stage (ops/fold_early): same math on the
+        # original parameter tree, lane-dense @H/2 activations —
+        # measured +4.5% on the cfg6 step (PERF.md round-4)
+        def fwd(params, batch_stats, x):
+            outs, new_stats = folded(
+                {"params": params, "batch_stats": batch_stats}, x)
+            return outs, {"batch_stats": new_stats}
+    else:
+        def fwd(params, batch_stats, x):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"])
 
     if remat:
         policy = (None if remat is True
