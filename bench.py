@@ -219,9 +219,15 @@ def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False,
           batch * 10 / dt)
 
 
-def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640):
+def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640,
+                        fold_early=True):
     """DyYOLO training step throughput (the reference's workload:
-    bs=4 x grad-accum 2, fp16/bf16, SGD momentum — train.py:42-56)."""
+    bs=4 x grad-accum 2, fp16/bf16, SGD momentum — train.py:42-56).
+
+    ``fold_early``: parity-folded early stage in the train step
+    (ops/fold_early; the train.trainer.fold_early product knob) —
+    lane-dense @H/2 activations, reassociation-level-equal training.
+    ``--no-pallas-stem`` is the A/B switch."""
     import jax
     import jax.numpy as jnp
     from uavdet_tpu.models import build_model
@@ -235,7 +241,8 @@ def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640):
     state = init_state(model, tx, jax.random.key(0), input_size,
                        batch_size=batch)
     step = make_train_step(model, tx, hparams, input_size,
-                           compute_dtype=jnp.bfloat16, donate=True)
+                           compute_dtype=jnp.bfloat16, donate=True,
+                           fold_early=fold_early)
     rng = np.random.default_rng(0)
     bd = BatchData(
         image=jnp.asarray(rng.uniform(
@@ -370,7 +377,8 @@ def _fit_rate_bench(cfg, epochs=4, batch=8, input_size=640, n_frames=56):
                 epochs=epochs, grad_batches=2, precision="bf16",
                 train_batches=1.0, val_batches=1,
                 check_val_every_n_epoch=10 ** 6,  # pure train-loop timing
-                nan_guard=False)
+                nan_guard=False,
+                fold_early=True)  # match cfg6 (the product knob)
     fit_cfg = Config(dict(
         cfg.to_dict(),
         dataset=dict(cfg.dataset.to_dict(), batch_size=batch,
@@ -493,7 +501,8 @@ def main():
                             train_loop=True)
     elif args.config == 6:
         _dyyolo_train_bench(load_config("conf", model="dy-yolo"),
-                            args.warmup)
+                            args.warmup,
+                            fold_early=not args.no_pallas_stem)
     return 0
 
 

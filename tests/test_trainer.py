@@ -268,3 +268,27 @@ def test_trainer_pp_config_surface(pipes, tmp_path):
     with pytest.raises(ValueError, match="must equal"):
         Trainer(_config(tmp_path, devices=4, pp_devices=2), tr, va,
                 metrics=MetricsWriter(str(tmp_path / "dvp5")))
+
+
+def test_trainer_fold_early_config_surface(pipes, tmp_path, monkeypatch):
+    """train.trainer.fold_early: true reaches make_train_step and the
+    folded early stage actually builds (the TINY config matches the
+    [B,1]+[C,3,2] gate); fit converges to a finite loss. Step-level
+    numerics parity lives in tests/test_fold_train.py."""
+    from uavdet_tpu.ops import fold_early as fe
+    calls = []
+    real = fe.fold_early_train_apply
+
+    def spy(model):
+        fn = real(model)
+        calls.append(fn is not None)
+        return fn
+
+    monkeypatch.setattr(fe, "fold_early_train_apply", spy)
+    tr, va = pipes
+    cfg = _config(tmp_path, fold_early=True)
+    t = Trainer(cfg, tr, va, metrics=MetricsWriter(str(tmp_path / "dvf")))
+    assert t.fold_early is True
+    final = t.fit()
+    assert calls == [True]  # built once, config matched the gate
+    assert np.isfinite(final["val_loss"])

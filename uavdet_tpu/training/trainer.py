@@ -74,6 +74,14 @@ class Trainer:
         # remat: False | True | a jax.checkpoint_policies name (e.g.
         # 'dots_saveable') — recompute activations in the backward pass
         self.remat = tcfg.get("remat", False)
+        # fold_early: run the early backbone stage in the parity-folded
+        # 2x2→channels layout (ops/fold_early) — same math on the same
+        # parameter tree up to reassociation, lane-dense @H/2
+        # activations (measured +4-5% on the cfg6 step, PERF.md r4).
+        # Opt-in: bitwise-faithful trajectories stay the default.
+        # Silently ignored when the model's config doesn't match, and
+        # unsupported under mesh/pp parallelism (single-device knob).
+        self.fold_early = bool(tcfg.get("fold_early", False))
         self.nan_guard_retries = int(tcfg.get("nan_guard_retries", 3))
         # Metric fetches batched every K steps: on the tunneled platform
         # every host fetch is a roundtrip, so a per-step float(loss) caps
@@ -238,7 +246,8 @@ class Trainer:
             train_step = make_train_step(
                 self.model, self.tx, hparams, self.input_size,
                 compute_dtype=self.compute_dtype,
-                donate=not self.nan_guard, remat=self.remat)
+                donate=not self.nan_guard, remat=self.remat,
+                fold_early=self.fold_early)
         eval_step = make_eval_step(self.model, hparams, self.input_size,
                                    compute_dtype=self.compute_dtype)
         return train_step, eval_step
