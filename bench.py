@@ -227,7 +227,8 @@ def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640,
     ``fold_early``: parity-folded early stage in the train step
     (ops/fold_early; the train.trainer.fold_early product knob) —
     lane-dense @H/2 activations, reassociation-level-equal training.
-    ``--no-pallas-stem`` is the A/B switch."""
+    ``--no-fold-early`` is the A/B switch; the measured mode is recorded
+    in the emitted metric label."""
     import jax
     import jax.numpy as jnp
     from uavdet_tpu.models import build_model
@@ -259,7 +260,7 @@ def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640,
 
     dt = _timer(run, lambda l: float(l), 10, warmup)
     _emit(f"DyYOLO train fwd+bwd imgs/s @ {input_size}px bs={batch} "
-          f"accum=2", batch * 10 / dt)
+          f"accum=2 fold_early={fold_early}", batch * 10 / dt)
 
 
 def _host_data_bench(name, hparams, input_size, batch, epochs, workers):
@@ -347,7 +348,8 @@ class _CachedPipe:
         yield from self._cache
 
 
-def _fit_rate_bench(cfg, epochs=4, batch=8, input_size=640, n_frames=56):
+def _fit_rate_bench(cfg, epochs=4, batch=8, input_size=640, n_frames=56,
+                    fold_early=True):
     """``Trainer.fit`` SUSTAINED img/s (VERDICT r2 item 7 / r3 item 5),
     cfg6-comparable configuration: DyYOLO @640, bs=8, grad-accum 2, bf16,
     nan_guard off, log_every_n_steps default (50).
@@ -378,7 +380,8 @@ def _fit_rate_bench(cfg, epochs=4, batch=8, input_size=640, n_frames=56):
                 train_batches=1.0, val_batches=1,
                 check_val_every_n_epoch=10 ** 6,  # pure train-loop timing
                 nan_guard=False,
-                fold_early=True)  # match cfg6 (the product knob)
+                fold_early=fold_early)  # match cfg6 (the product knob;
+    # --no-fold-early is the A/B switch)
     fit_cfg = Config(dict(
         cfg.to_dict(),
         dataset=dict(cfg.dataset.to_dict(), batch_size=batch,
@@ -406,7 +409,8 @@ def _fit_rate_bench(cfg, epochs=4, batch=8, input_size=640, n_frames=56):
           f"pattern, cfg6-comparable) | on-disk {rates['disk']:.1f} img/s "
           f"(host-decode-bound on this 1-core host)", file=sys.stderr)
     _emit(f"Trainer.fit sustained img/s (cached device batches) DyYOLO "
-          f"@{input_size}px bs={batch} accum=2", rates["cached"])
+          f"@{input_size}px bs={batch} accum=2 fold_early={fold_early}",
+          rates["cached"])
 
 
 def main():
@@ -426,7 +430,12 @@ def main():
                     " the 1x1 stem past space_to_depth so the 12.5 GB"
                     " 4x-lane-padded stem activation never materializes")
     ap.add_argument("--no-pallas-stem", action="store_true",
-                    help="disable the fused Pallas stem fast path")
+                    help="disable the fused INFERENCE stem fast paths"
+                    " (Pallas stem kernels; cfg3/cfg4 folded fronts)")
+    ap.add_argument("--no-fold-early", action="store_true",
+                    help="cfg6/--fit-rate: disable the parity-folded"
+                    " early stage in the TRAIN step (the"
+                    " train.trainer.fold_early product knob)")
     ap.add_argument("--host-data", action="store_true",
                     help="measure end-to-end fps WITH the host data path"
                     " (on-disk JPEGs -> DataPipeline -> detector),"
@@ -468,7 +477,8 @@ def main():
     elif args.fit_rate:
         _fit_rate_bench(cfg, epochs=max(args.epochs, 3),
                         input_size=input_size,
-                        n_frames=8 if args.smoke else 56)
+                        n_frames=8 if args.smoke else 56,
+                        fold_early=not args.no_fold_early)
     elif args.config is None:
         _detector_bench(name, hparams, batch, input_size, args.iters,
                         args.warmup,
@@ -502,7 +512,7 @@ def main():
     elif args.config == 6:
         _dyyolo_train_bench(load_config("conf", model="dy-yolo"),
                             args.warmup,
-                            fold_early=not args.no_pallas_stem)
+                            fold_early=not args.no_fold_early)
     return 0
 
 

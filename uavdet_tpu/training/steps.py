@@ -76,7 +76,8 @@ def make_train_step(model, tx, hparams, input_size: int,
     the two stem tokens) in the parity-folded 2x2→channels layout
     (ops/fold_early.fold_early_train_apply) — reassociation-level-equal
     training on the same parameter tree, lane-dense early activations.
-    Silently ignored when the model's config doesn't match.
+    Warns and falls back to the plain step when the model's layer_config
+    doesn't match the fold's stem/early pattern.
     """
     anchors = np.asarray(hparams.anchors, np.float32)
     weights = _loss_weights(hparams)
@@ -85,6 +86,10 @@ def make_train_step(model, tx, hparams, input_size: int,
     if fold_early:
         from ..ops.fold_early import fold_early_train_apply
         folded = fold_early_train_apply(model)
+        if folded is None:
+            print("WARNING: fold_early=true but the model's layer_config "
+                  "does not match the foldable stem/early pattern "
+                  "(ops/fold_early) — running the unfolded train step")
 
     if folded is not None:
         # parity-folded early stage (ops/fold_early): same math on the

@@ -77,10 +77,11 @@ class Trainer:
         # fold_early: run the early backbone stage in the parity-folded
         # 2x2→channels layout (ops/fold_early) — same math on the same
         # parameter tree up to reassociation, lane-dense @H/2
-        # activations (measured +4-5% on the cfg6 step, PERF.md r4).
-        # Opt-in: bitwise-faithful trajectories stay the default.
-        # Silently ignored when the model's config doesn't match, and
-        # unsupported under mesh/pp parallelism (single-device knob).
+        # activations (measured +4-5% on the cfg6 step, PERF.md r4;
+        # 20-step trajectory-parity-tested vs the torch oracle,
+        # test_fold_train.py). Unsupported under mesh/pp parallelism
+        # (single-device knob) and no-op when the model's layer_config
+        # doesn't match — both cases warn loudly (below / steps.py).
         self.fold_early = bool(tcfg.get("fold_early", False))
         self.nan_guard_retries = int(tcfg.get("nan_guard_retries", 3))
         # Metric fetches batched every K steps: on the tunneled platform
@@ -199,6 +200,15 @@ class Trainer:
                         f"data*fsdp*ep={grp} (the batch dim shards over "
                         "every non-spatial mesh axis — ZeRO convention, "
                         "see parallel.mesh.BATCH_AXES)")
+
+        if self.fold_early and (self.mesh is not None or self.n_pp > 1):
+            # fail loud, not silent: a user flipping a perf knob must see
+            # why it did nothing (VERDICT r4 weak #4 / ADVICE r4)
+            print("WARNING: train.trainer.fold_early=true is ignored under "
+                  "mesh/pipeline parallelism (devices/fsdp/sp/ep/pp > 1) — "
+                  "the folded step is a single-device knob; running the "
+                  "unfolded sharded step")
+            self.fold_early = False
 
         if self.multihost and self.mesh is not None:
             # sharded host decode: this process only materializes the
