@@ -123,9 +123,12 @@ def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False,
                         fold=True):
     """RTMUAVDet pipeline (config 4) / training loop (config 5).
 
-    ``fold`` (detect only): run the stem + CSP base conv via the folded
-    front (ops/fold_rtm) — the 32-ch @H/2 stem map, 4x lane-padded,
-    never materializes. --no-pallas-stem is the A/B switch."""
+    ``fold``: run the stem + CSP base conv in the parity-folded layout —
+    the 32-ch @H/2 stem map, 4x lane-padded, never materializes. For
+    detect that is ops/fold_rtm.fold_rtm_front (--no-pallas-stem is the
+    A/B switch); for the train loop it is fold_rtm_train_apply
+    (masked quadrant-group BN statistics; --no-fold-early is the A/B
+    switch and the measured mode is recorded in the metric label)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -191,16 +194,27 @@ def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False,
     targets = jnp.asarray(np.tile(
         np.asarray([[100, 100, 200, 200.0]], np.float32), (batch, 1, 1)))
 
+    folded_apply = None
+    if fold:
+        from uavdet_tpu.ops.fold_rtm import fold_rtm_train_apply
+        folded_apply = fold_rtm_train_apply(model)
+
     @jax.jit
     def step(params, batch_stats, opt_state, images):
         def loss_fn(p):
-            outs, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                preprocess(images, input_size, jnp.bfloat16), train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": jax.random.key(0)})
+            x = preprocess(images, input_size, jnp.bfloat16)
+            rngs = {"dropout": jax.random.key(0)}
+            if folded_apply is not None:
+                outs, new_stats = folded_apply(
+                    {"params": p, "batch_stats": batch_stats}, x,
+                    rngs=rngs)
+            else:
+                outs, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x,
+                    train=True, mutable=["batch_stats"], rngs=rngs)
+                new_stats = mut["batch_stats"]
             return rtm_compute_loss(outs, targets, input_size, det_scales), \
-                mut["batch_stats"]
+                new_stats
 
         (loss, stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -215,8 +229,8 @@ def _rtm_detector_bench(batch, input_size, iters, warmup, train_loop=False,
         return loss
 
     dt = _timer(run, lambda l: float(l), 10, warmup)
-    _emit(f"RTMUAVDet train fwd+bwd imgs/s @ {input_size}px bs={batch}",
-          batch * 10 / dt)
+    _emit(f"RTMUAVDet train fwd+bwd imgs/s @ {input_size}px bs={batch} "
+          f"fold={fold}", batch * 10 / dt)
 
 
 def _dyyolo_train_bench(cfg, warmup, batch=8, input_size=640,
@@ -508,7 +522,8 @@ def main():
                             fold=not args.no_pallas_stem)
     elif args.config == 5:
         _rtm_detector_bench(8, 640, args.iters, args.warmup,
-                            train_loop=True)
+                            train_loop=True,
+                            fold=not args.no_fold_early)
     elif args.config == 6:
         _dyyolo_train_bench(load_config("conf", model="dy-yolo"),
                             args.warmup,

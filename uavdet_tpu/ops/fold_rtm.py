@@ -26,8 +26,13 @@ is masked to zero, which the folded-s2 base conv then consumes exactly
 like the original conv's zero padding (its last window row taps
 original row Hs, a pad row, either way).
 
-EVAL-ONLY (BatchNorm statistics fold per-phase only in inference);
-exactness is reassociation-level, f64-parity-tested in
+``fold_rtm_front`` is the EVAL fold (running BN statistics tile
+per-phase exactly). ``fold_rtm_train_apply`` is the TRAIN-mode fold
+(VERDICT r4 item 6): batch statistics are computed over the identical
+element population via masked quadrant-group sums (the
+ops/fold_early._bn_train_folded treatment, extended with validity
+masks for odd stem extents), so cfg5's train step stops paying the 4x
+stem lane tax. Exactness is reassociation-level, f64-parity-tested in
 tests/test_fold_rtm.py.
 
 Reference op being re-designed: reference model/RTMUAVDet.py:28-35
@@ -86,6 +91,154 @@ def _fold_stem_kernel(k5, c_out_blocks=4):
             k7[2 * ry:2 * ry + kk, 2 * rx:2 * rx + kk, :,
                q * co:(q + 1) * co] = k5
     return k7
+
+
+def _fold_stem_kernel_jnp(k5):
+    """Differentiable (jnp) variant of ``_fold_stem_kernel`` — the train
+    fold builds the folded kernel IN-GRAPH so gradients flow to the
+    original 5x5 parameter (embedding is linear)."""
+    kk, _, ci, co = k5.shape
+    k7 = jnp.zeros((kk + 2, kk + 2, ci, 4 * co), k5.dtype)
+    for ry in (0, 1):
+        for rx in (0, 1):
+            q = 2 * ry + rx
+            k7 = k7.at[2 * ry:2 * ry + kk, 2 * rx:2 * rx + kk, :,
+                       q * co:(q + 1) * co].set(k5)
+    return k7
+
+
+def _quad_mask(h4, w4, hs, ws, c_stem, dtype):
+    """(h4, w4, 4*c_stem) validity mask: 0 where a quadrant's position
+    maps past the original stem extent (odd hs/ws put a pad row/col in
+    the last fold pair), 1 elsewhere. None when everything is valid."""
+    if hs % 2 == 0 and ws % 2 == 0:
+        return None
+    blocks = []
+    for ry in (0, 1):
+        for rx in (0, 1):
+            bm = jnp.ones((h4, w4, 1), dtype)
+            if ry and hs % 2:
+                bm = bm.at[h4 - 1].set(0)
+            if rx and ws % 2:
+                bm = bm.at[:, w4 - 1].set(0)
+            blocks.append(jnp.broadcast_to(bm, (h4, w4, c_stem)))
+    return jnp.concatenate(blocks, -1)
+
+
+def _bn_silu_train_quad(y, p, s, dt, mask, n_valid, momentum, eps,
+                        tile=4):
+    """flax BatchNorm TRAIN semantics on a quadrant-folded map with a
+    validity mask: batch statistics per ORIGINAL channel are masked
+    sums over (batch, space, quadrant-group) divided by the EXACT
+    unfolded population ``n_valid`` (B*hs*ws) — the identical element
+    set the unfolded BN reduces, summed quadrant-group-first
+    (reassociation-level equal; mirrors flax `_compute_stats`'s
+    force_float32_reductions + fast-variance formula and `_normalize`'s
+    promotion/cast order — see ops/fold_early._bn_train_folded).
+    Returns (silu(normalized) re-zeroed at masked positions, new_stats).
+    """
+    from flax.linen import dtypes as _fld
+
+    c = s["mean"].shape[0]
+    pt = jnp.promote_types(dt or jnp.result_type(y), jnp.float32)
+    xp = y.astype(pt)
+    if mask is not None:
+        xp = xp * mask.astype(pt)
+    sums = jnp.sum(xp, axis=(0, 1, 2))
+    sums2 = jnp.sum(xp * xp, axis=(0, 1, 2))
+    if tile > 1:
+        sums = jnp.sum(sums.reshape(tile, c), axis=0)
+        sums2 = jnp.sum(sums2.reshape(tile, c), axis=0)
+    mu = sums / n_valid
+    mu2 = sums2 / n_valid
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    new_stats = {"mean": momentum * s["mean"] + (1 - momentum) * mu,
+                 "var": momentum * s["var"] + (1 - momentum) * var}
+
+    def t(v):
+        return jnp.tile(v, tile) if tile > 1 else v
+
+    out = y - t(mu)
+    mul = jax.lax.rsqrt(t(var) + eps) * t(p["scale"])
+    out = out * mul + t(p["bias"])
+    out = jnp.asarray(out, _fld.canonicalize_dtype(y, p["scale"],
+                                                   p["bias"], dtype=dt))
+    out = jax.nn.silu(out)
+    if mask is not None:
+        # masked positions are the downstream conv's zero padding — the
+        # epilogue maps exact zeros to silu(bias - mean*mul), so re-zero
+        out = out * mask.astype(out.dtype)
+    return out, new_stats
+
+
+def fold_rtm_train_apply(model):
+    """Trainable parity-folded RTM front (the cfg5 counterpart of
+    ops/fold_early.fold_early_train_apply).
+
+    Returns ``apply(variables, x, rngs) -> (outs, batch_stats)``
+    matching ``model.apply(variables, x, train=True,
+    mutable=['batch_stats'], rngs=rngs)`` up to reassociation: the stem
+    + MDyCSP_1.base_conv run in the 2x2-folded layout (the 4x-lane-
+    padded 32-ch @H/2 stem map never materializes in fwd OR bwd), with
+    BN batch statistics reduced over the identical element population
+    via masked quadrant-group sums. Gradients flow to the ORIGINAL
+    parameter tree (kernels folded in-graph; folding is linear), so
+    checkpoints and optimizer state are unchanged. Returns None for a
+    ``stem_folded`` model (nothing left to fold).
+
+    Reference op being re-designed: reference model/RTMUAVDet.py:28-45
+    (train path) — lane padding is a TPU-only concern."""
+    if getattr(model, "stem_folded", False):
+        return None
+    tail = model.clone(stem_folded=True)
+    mdt = model.dtype
+    dt = mdt or jnp.float32
+
+    def apply(variables, x, rngs=None):
+        p = variables["params"]
+        s = variables["batch_stats"]
+        stem_p = p["stem"]["RTMConvModule_0"]
+        stem_s = s["stem"]["RTMConvModule_0"]
+        base_p = p["MDyCSP_1"]["base_conv"]
+        base_s = s["MDyCSP_1"]["base_conv"]
+
+        k7 = _fold_stem_kernel_jnp(stem_p["Conv_0"]["kernel"]).astype(dt)
+        k2 = fold_kernel_3x3_s2(base_p["Conv_0"]["kernel"]).astype(dt)
+        c_stem = k7.shape[-1] // 4
+
+        x = x.astype(dt)
+        b, h, w, _ = x.shape
+        hs, ws = (h - 3) // 2 + 1, (w - 3) // 2 + 1
+        h4, w4 = (hs - 1) // 2 + 1, (ws - 1) // 2 + 1
+
+        y = jax.lax.conv_general_dilated(
+            x, k7, window_strides=(4, 4),
+            padding=(_fold_pad(h, h4), _fold_pad(w, w4)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        mask = _quad_mask(h4, w4, hs, ws, c_stem, dt)
+        y, stem_new = _bn_silu_train_quad(
+            y, stem_p["BatchNorm_0"], stem_s["BatchNorm_0"], mdt, mask,
+            n_valid=b * hs * ws, momentum=0.97, eps=1e-3, tile=4)
+        y = jax.lax.conv_general_dilated(
+            y, k2.astype(y.dtype), window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y, base_new = _bn_silu_train_quad(
+            y, base_p["BatchNorm_0"], base_s["BatchNorm_0"], mdt,
+            mask=None, n_valid=b * h4 * w4, momentum=0.97, eps=1e-3,
+            tile=1)
+
+        outs, mut = tail.apply({"params": p, "batch_stats": s}, y,
+                               train=True, mutable=["batch_stats"],
+                               rngs=rngs)
+        new_stats = dict(mut["batch_stats"])
+        new_stats["stem"] = {"RTMConvModule_0": {"BatchNorm_0": stem_new}}
+        csp1 = dict(new_stats.get("MDyCSP_1", {}))
+        csp1["base_conv"] = {"BatchNorm_0": base_new}
+        new_stats["MDyCSP_1"] = csp1
+        return outs, new_stats
+
+    return apply
 
 
 def fold_rtm_front(variables, dtype: Any = jnp.float32):
