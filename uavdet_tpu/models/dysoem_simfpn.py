@@ -189,18 +189,18 @@ class DynamicSOEM(nn.Module):
         y = _ExpertsConv(self.num_dy_conv * out_c, ks, in_attn,
                          dtype=self.dtype, name="experts")(
             (x if fused else f).astype(dt), k, fused)
-        # contract the expert axis as a batched matmul against attn ⊗ I —
-        # the reshape-free formulation from DyConvModule (layers.py:237):
-        # splitting the lane dim for a 5D einsum forces XLA to relayout
-        # the E·out_c-wide expert map (5 GB at cfg3's soem_0); the ⊗ I
-        # matmul reads it in place. Reassociation-level equal (the extra
-        # terms are exact zeros; summation order differs) — the plain/
-        # fused parity test tolerances already cover it.
-        b = y.shape[0]
-        eye = jnp.eye(out_c, dtype=y.dtype)
-        mix = jnp.einsum("be,oq->beoq", attn.astype(y.dtype), eye).reshape(
-            b, self.num_dy_conv * out_c, out_c)
-        y = jnp.einsum("bhwc,bco->bhwo", y, mix)
+        # contract the expert axis via the 5D split + einsum. The r4
+        # attn ⊗ I batched-matmul rewrite (DyConvModule's reshape-free
+        # form) was A/B'd end-to-end in r5 and REVERTED: it carries
+        # out_c× the contraction FLOPs, and at the SOEM's channel widths
+        # that loses — cfg3 measured 89.1 (kron) vs 96.4 (this form)
+        # fps on v5e. The relayout the kron form avoids is evidently
+        # absorbed by XLA here (unlike DyConvModule's L1/L2 shapes,
+        # where the kron form measured faster — both are measurements,
+        # not theory; see PERF.md round-5).
+        b, hh, ww, _ = y.shape
+        y = y.reshape(b, hh, ww, self.num_dy_conv, out_c)
+        y = jnp.einsum("bhwec,be->bhwc", y, attn.astype(y.dtype))
 
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(y)
@@ -295,6 +295,8 @@ class SimplifiedFPN(nn.Module):
         # conv BEFORE upsample: a 1x1 conv is per-pixel, so it commutes
         # with nearest upsample BITWISE — conving at the low resolution
         # reads 4x fewer bytes (and 4x fewer MACs). Same variable tree.
+        # A/B'd end-to-end in r5: 93.6 (conv after up2) → 96.4 fps
+        # (this form) on cfg3, with the contraction held fixed.
         center = x1 + up2(nn.Conv(c1, (1, 1), name="x2_in_down",
                                   dtype=dt)(x2)) + x1
         x0 = x0 + up2(nn.Conv(c0, (1, 1), name="center_down",
