@@ -51,10 +51,17 @@ def conv_cost(b, h, w, cin, cout, k, s, experts=1):
     return flops, br, bp
 
 
-def walk(b, size):
+def walk(b, size, fold=False):
     """Yields (section, name, flops, bytes_real, bytes_padded) rows by
     interpreting the DyYOLO layer_config (params.yaml) with the exact
-    channel/route semantics of models/interpreter.py."""
+    channel/route semantics of models/interpreter.py.
+
+    ``fold``: price the SHIPPED r4+ program — tokens [2:4] (B1 @H/2 +
+    the 128-s2 downsample) run in ops/fold_early's 2x2-folded layout:
+    every activation there carries >=128 lanes (padded == real bytes)
+    but the block-structured kernels run dense (1x1 and 3x3-s1 at 4x
+    FLOPs, the s2 exit at 16/9x). This is the folded program's OWN
+    floor — the r2 698-fps roofline priced the unfolded layout."""
     from uavdet_tpu.utils.config import load_params
     cfg = load_params("params.yaml").model.hparams.layer_config
 
@@ -76,7 +83,27 @@ def walk(b, size):
                          *conv_cost(b, h, w, c // 2, c, 3, 1)))
 
     n_scale = 0
-    for tok in cfg:
+    for idx, tok in enumerate(cfg):
+        if fold and idx == 2 and tok[0] == "B" and tok[1] == 1:
+            # folded B1: (1,1,4c,2c) + (3,3,2c,4c) dense — 4x FLOPs,
+            # lane-exact bytes (real == padded)
+            for name, ci, co, k in ((f"FOLD res@{h//2} 1x1", 4 * c,
+                                     2 * c, 1),
+                                    (f"FOLD res@{h//2} 3x3", 2 * c,
+                                     4 * c, 3)):
+                fl, br, _ = conv_cost(b, h // 2, w // 2, ci, co, k, 1)
+                rows.append((sec, name, fl, br, br))
+            continue
+        if fold and idx == 3 and tok[0] not in ("B", "S", "U", "DyConv") \
+                and tok[2] == 2:
+            # folded s2 exit: (2,2,4c,co) stride-1 — 16/9x FLOPs,
+            # lane-exact; output is the ordinary @H/4 map
+            out_c = tok[0]
+            fl, br, _ = conv_cost(b, h // 2, w // 2, 4 * c, out_c, 2, 1)
+            rows.append((sec, f"FOLD s2-exit@{h//2}", fl, br, br))
+            h, w, c = h // 2, w // 2, out_c
+            sec = "early"
+            continue
         if tok[0] == "B":
             res_block(sec, h, w, c, tok[1])
             if tok[1] == 8:
@@ -121,8 +148,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--per-layer", action="store_true")
+    ap.add_argument("--fold", action="store_true",
+                    help="price the shipped fold_early program (see walk)")
     args = ap.parse_args()
-    rows = walk(args.batch, args.size)
+    rows = walk(args.batch, args.size, fold=args.fold)
 
     secs = {}
     for sec, name, fl, br, bp in rows:

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--input", type=int, default=640)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--fold", action="store_true",
+                    help="audit the SHIPPED post-fold program (VERDICT"
+                    " r4 item 2): stem emits the parity-folded layout,"
+                    " the early section runs ops/fold_early's"
+                    " block-structured convs, the tail starts at mid")
     args = ap.parse_args()
 
     from uavdet_tpu.utils.cache import enable_compilation_cache
@@ -66,19 +71,37 @@ def main():
         return dt
 
     # full program + stem + tail (the r3 trio, re-measured on today's code)
-    det = make_detector(model, hparams, S, pallas_stem_variables=variables)
-    t_full = t("detect FULL (pallas stem)",
+    det = make_detector(model, hparams, S, pallas_stem_variables=variables,
+                        fold_early=args.fold)
+    t_full = t(f"detect FULL (pallas stem, fold={args.fold})",
                lambda: det(variables, imgs),
                lambda o: float(jnp.sum(o.scores)))
 
     from uavdet_tpu.ops.pallas_stem_split import detector_stem_fast_path
     stem_fn, tail_model, tail_vars = detector_stem_fast_path(
         model, variables, model.layer_config,
-        getattr(model, "attn_temperature", 30.0))
+        getattr(model, "attn_temperature", 30.0), fold_early=args.fold)
     stem_j = jax.jit(stem_fn)
-    t_stem = t("stem (pallas L1+L2, from uint8)",
+    t_stem = t("stem+earlyfold" if args.fold else
+               "stem (pallas L1+L2, from uint8)",
                lambda: stem_j(imgs),
                lambda o: float(o[0, 0, 0, 0].astype(jnp.float32)))
+    t_stem_only = None
+    if args.fold:
+        # the pallas kernels alone, emitting the folded layout (no
+        # early_fn) — the early-fold delta prices ops/fold_early
+        from uavdet_tpu.ops.pallas_stem_split import fused_stem_forward
+        p_net = variables["params"]["net"]
+        s_net = variables["batch_stats"]["net"]
+        at = getattr(model, "attn_temperature", 30.0)
+        stem_only_j = jax.jit(lambda x: fused_stem_forward(
+            x, p_net["DyConvModule_0"], s_net["DyConvModule_0"],
+            p_net["DyConvModule_1"], s_net["DyConvModule_1"], at,
+            folded=True))
+        t_stem_only = t("stem only (pallas, folded out)",
+                        lambda: stem_only_j(imgs),
+                        lambda o: float(o[0, 0, 0, 0]
+                                        .astype(jnp.float32)))
     xstem = stem_j(imgs)
     _ = np.asarray(jnp.ravel(xstem)[:1])
 
@@ -123,7 +146,7 @@ def main():
                                  dtype=jnp.bfloat16)(x, False)
             return x
 
-    toks = [tuple(tk) for tk in model.layer_config[2:]]
+    toks = [tuple(tk) for tk in model.layer_config[4 if args.fold else 2:]]
     # early ends after the 256-s2 downsample (first token whose out_c=256)
     cut_early = next(i for i, tk in enumerate(toks)
                      if tk[0] not in ("B", "S", "U", "DyConv")
@@ -133,10 +156,12 @@ def main():
                    if tk[0] not in ("B", "S", "U", "DyConv")
                    and tk[0] == 512) + 1
 
-    xin = jnp.asarray(np.asarray(xstem))  # (B, 320, 320, 64) bf16
+    xin = jnp.asarray(np.asarray(xstem))  # tail input, bf16
     prefix_t = {}
     for name, cut in (("P1 (early: ..@160+256s2)", cut_early),
                       ("P2 (early+mid: ..@80+512s2)", cut_mid)):
+        if args.fold and cut == cut_early:
+            name = "P1 (early rest: B2@160+256s2)"
         mod = TailPrefix(tokens=tuple(toks[:cut]))
         vs = mod.init(jax.random.key(1), xin)
         fn = jax.jit(lambda v, z, mod=mod: mod.apply(v, z))
@@ -144,12 +169,18 @@ def main():
                            lambda o: float(o[0, 0, 0, 0]
                                            .astype(jnp.float32)))
 
-    p1 = prefix_t["P1 (early: ..@160+256s2)"]
+    p1 = next(v for k, v in prefix_t.items() if k.startswith("P1"))
     p2 = prefix_t["P2 (early+mid: ..@80+512s2)"]
     post = t_full - t_stem - t_tail
     print("\n--- section table (ms, in-context deltas) ---")
-    print(f"stem   {t_stem * 1e3:7.2f}")
-    print(f"early  {p1 * 1e3:7.2f}")
+    if args.fold:
+        print(f"stem        {t_stem_only * 1e3:7.2f}")
+        print(f"early-fold  {(t_stem - t_stem_only) * 1e3:7.2f}"
+              "   (folded B1@H/2 + 128s2, ops/fold_early)")
+        print(f"early-rest  {p1 * 1e3:7.2f}   (B2@160 + 256s2)")
+    else:
+        print(f"stem   {t_stem * 1e3:7.2f}")
+        print(f"early  {p1 * 1e3:7.2f}")
     print(f"mid    {(p2 - p1) * 1e3:7.2f}")
     print(f"deep   {(t_tail - p2) * 1e3:7.2f}")
     print(f"post   {post * 1e3:7.2f}   (= full - stem - tail)")

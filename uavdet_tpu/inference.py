@@ -387,19 +387,30 @@ def make_detector(model, hparams, input_size: int,
     # parameterization is not the YOLO one this detector builds — RTM
     # stays hand-wired in bench.py, matching its not-dispatchable status)
     from .models.dysoem_simfpn import DySOEM_SimFPN as _DySOEM
+    full_fwd = None
     if (pallas_stem_variables is not None and stem is None
             and isinstance(model, _DySOEM) and not model.stem_folded
             and input_size % 2 == 0):
-        from .models.dysoem_simfpn import fold_input_stem
-        front = fold_input_stem(pallas_stem_variables,
-                                dtype=compute_dtype)
-        stem = (front, model.clone(stem_folded=True),
-                pallas_stem_variables)
+        if input_size % 4 == 0:
+            # row-folded level-0 path through neck+head on top of the
+            # folded stem (ops/fold_soem_neck): the 2x-lane-padded @H/2
+            # 64-ch maps never exist; decode order is bit-identical.
+            # Measured 285.7 -> 270.3 ms forward at cfg3 (PERF.md r5).
+            from .ops.fold_soem_neck import fold_soem_neck_forward
+            full_fwd = fold_soem_neck_forward(model, pallas_stem_variables)
+        if full_fwd is None:
+            from .models.dysoem_simfpn import fold_input_stem
+            front = fold_input_stem(pallas_stem_variables,
+                                    dtype=compute_dtype)
+            stem = (front, model.clone(stem_folded=True),
+                    pallas_stem_variables)
 
     def _body(variables, x) -> Detections:
         """x: frames at the detector grid — raw uint8 (fused-stem /255
         fold) or preprocessed compute-dtype floats."""
-        if stem is not None:
+        if full_fwd is not None:
+            outs = full_fwd(x)
+        elif stem is not None:
             stem_fn, tail_model, tail_vars = stem
             outs = tail_model.apply(tail_vars, stem_fn(x), train=False)
         else:
@@ -458,7 +469,8 @@ def make_detector(model, hparams, input_size: int,
     else:
         @partial(jax.jit, **jit_kw)
         def detect(variables, images) -> Detections:
-            if not (stem is not None and images.dtype == jnp.uint8
+            if not ((stem is not None or full_fwd is not None)
+                    and images.dtype == jnp.uint8
                     and images.shape[1:3] == (input_size, input_size)):
                 images = preprocess(images, input_size, compute_dtype)
             return _body(variables, images)
