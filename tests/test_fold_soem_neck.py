@@ -89,6 +89,31 @@ def test_gates():
         fn(jnp.zeros((1, 30, 30, 3)))
 
 
+@pytest.mark.parametrize("size", [32, 64])
+def test_dyconv_path_matches_rowfold(rng, size):
+    """The per-sample mixed-kernel Pallas path (dyconv=True, interpret
+    mode on CPU) matches the pure-XLA row-fold path at bf16 tolerance —
+    the parity-block reshape/permutation and the fused BN epilogue are
+    the things under test (the kernel itself is parity-tested in
+    test_pallas_dyconv.py)."""
+    model = DySOEM_SimFPN(dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.key(3), x0, train=False)
+    fn_dy = fold_soem_neck_forward(model, variables, dyconv=True,
+                                   dyconv_interpret=True)
+    fn_rf = fold_soem_neck_forward(model, variables, dyconv=False)
+    assert fn_dy is not None and fn_rf is not None
+    x = jnp.asarray(rng.integers(0, 256, size=(2, size, size, 3),
+                                 dtype=np.uint8))
+    for a, b in zip(fn_dy(x), fn_rf(x)):
+        np.testing.assert_allclose(np.asarray(a.obj, np.float32),
+                                   np.asarray(b.obj, np.float32),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(a.bbox, np.float32),
+                                   np.asarray(b.bbox, np.float32),
+                                   rtol=0.05, atol=0.05)
+
+
 def test_detector_uses_rowfold(rng):
     """make_detector end-to-end through the row-folded path produces
     detections close to the stock-path detector (reassociation-level

@@ -396,8 +396,13 @@ def make_detector(model, hparams, input_size: int,
             # folded stem (ops/fold_soem_neck): the 2x-lane-padded @H/2
             # 64-ch maps never exist; decode order is bit-identical.
             # Measured 285.7 -> 270.3 ms forward at cfg3 (PERF.md r5).
+            import os as _os
             from .ops.fold_soem_neck import fold_soem_neck_forward
-            full_fwd = fold_soem_neck_forward(model, pallas_stem_variables)
+            full_fwd = fold_soem_neck_forward(
+                model, pallas_stem_variables,
+                # per-sample mixed-kernel Pallas SOEMs: A/B gate until
+                # the end-to-end cfg3 number is in (PERF.md r5 rule)
+                dyconv=_os.environ.get("UAVDET_SOEM_DYCONV", "0") == "1")
         if full_fwd is None:
             from .models.dysoem_simfpn import fold_input_stem
             front = fold_input_stem(pallas_stem_variables,

@@ -43,9 +43,23 @@ from typing import Any, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.datatypes import DetectionResults
 from .fold_rtm import _bn_silu
+
+
+def _swap_parity_perm(oc: int) -> np.ndarray:
+    """Self-inverse channel permutation between the colfold-of-rowfold
+    order (pj, pi, c) and the true s2d order (pi, pj, c), blocks of
+    ``oc`` channels."""
+    perm = np.empty(4 * oc, np.int32)
+    for pi in range(2):
+        for pj in range(2):
+            dat = (2 * pj + pi) * oc
+            s2d = (2 * pi + pj) * oc
+            perm[dat:dat + oc] = np.arange(s2d, s2d + oc)
+    return perm
 
 
 def rfold(x):
@@ -117,7 +131,8 @@ def _fuse_s2d_kernel(k, kk=2):
         kk * ks, kk * ks, ci, f)
 
 
-def fold_soem_neck_forward(model, variables):
+def fold_soem_neck_forward(model, variables, dyconv: bool = None,
+                           dyconv_interpret: bool = False):
     """Build the complete row-folded DySOEM_SimFPN inference forward.
 
     -> ``fn(x) -> List[DetectionResults]`` equal to
@@ -130,6 +145,17 @@ def fold_soem_neck_forward(model, variables):
     Returns None when the fold doesn't apply: needs the 3-level
     DySOEM_SimFPN shape, the fused s2d_conv path, square-factor-of-4
     inputs (checked at trace time), and an un-folded (stock) model.
+
+    ``dyconv``: run soem_1/soem_2 through the per-sample mixed-kernel
+    Pallas conv (ops/pallas_dyconv — E× fewer FLOPs than the stacked
+    form, no expert map; measured verdict in PERF.md round-5). The
+    kernel is bf16-only, so the path engages only for bf16 models
+    (``None`` → auto: on for bf16 models except on pure-CPU backends,
+    where ``dyconv_interpret`` must be set explicitly). soem_1 consumes
+    the row-folded x0 as a pure ``reshape`` to the column-folded
+    (B, H/4, W/4, 4·oc0) layout — the parity-block channel order is
+    absorbed into a static permutation of the kernel/attention tables
+    (``_swap_parity_perm``).
     """
     from ..models.dysoem_simfpn import fold_input_stem
 
@@ -138,6 +164,11 @@ def fold_soem_neck_forward(model, variables):
             or tuple(model.num_dy_conv) != (3, 3, 3)):
         return None
     dt = model.dtype or jnp.float32
+    if dyconv is None:
+        dyconv = (dt == jnp.bfloat16
+                  and (dyconv_interpret
+                       or jax.default_backend() != "cpu"))
+    dyconv = dyconv and dt == jnp.bfloat16
     temp = float(model.attn_temperature)
     n_anchors = model.n_anchors
     p, st = variables["params"], variables["batch_stats"]
@@ -167,6 +198,34 @@ def fold_soem_neck_forward(model, variables):
 
     ks1 = int(model.dy_kernel_size[1])
     ks2 = int(model.dy_kernel_size[2])
+    dyconv = dyconv and ks1 == 3 and ks2 == 3
+
+    def dy_site(x_s2d, sp, ss, oc, kperm=None):
+        """soem via the per-sample mixed-kernel Pallas conv: the
+        attention mixes the expert kernels in XLA (negligible FLOPs),
+        the conv+BN+SiLU run in ops/pallas_dyconv. ``kperm`` reorders
+        the kernel's input channels (and the GAP vector) when the data
+        layout's parity-block order differs from the stored s2d order."""
+        from .pallas_dyconv import mixed_bias, mixed_kernel, pallas_dyconv
+
+        k = jnp.asarray(sp["experts"]["kernel"], jnp.float32)
+        pooled = jnp.mean(x_s2d, (1, 2)).astype(dt)
+        if kperm is not None:
+            k = k[:, :, kperm, :]
+            pooled = pooled[:, kperm]
+        attn = attn_mlp(pooled, sp).astype(jnp.float32)
+        km = mixed_kernel(k, attn, oc).astype(jnp.bfloat16)
+        bp, bs_ = sp["BatchNorm_0"], ss["BatchNorm_0"]
+        mul = jnp.asarray(bp["scale"], jnp.float32) * jax.lax.rsqrt(
+            jnp.asarray(bs_["var"], jnp.float32) + 1e-5)
+        add = (jnp.asarray(bp["bias"], jnp.float32)
+               - jnp.asarray(bs_["mean"], jnp.float32) * mul)[None] \
+            + mixed_bias(jnp.asarray(sp["experts"]["bias"],
+                                     jnp.float32), attn, oc) * mul
+        h = x_s2d.shape[1]
+        rs = max(r for r in (16, 8, 4, 2, 1) if h % r == 0)
+        return pallas_dyconv(x_s2d.astype(jnp.bfloat16), km, mul, add,
+                             rs=rs, interpret=dyconv_interpret)
 
     def fn(x):
         f0 = front(x)                                # (B, S/2, S/2, 4·cs)
@@ -186,41 +245,59 @@ def fold_soem_neck_forward(model, variables):
                       eps=1e-5, tile=2, dtype=model.dtype)
         # x0: (B, S/4, S/2, 2·oc0) row-folded, lane-exact
 
-        # soem_1: fused s2d experts conv, row-folded input (zero FLOP
-        # overhead), output exits the fold as the ordinary @S/4 map
+        # soem_1: fused s2d experts conv on the row-folded input (zero
+        # FLOP overhead), or the per-sample mixed-kernel Pallas conv
+        # (the row-folded map REINTERPRETS as column-folded s2d via a
+        # pure reshape; the parity-block order lands in the kernel
+        # permutation)
         sp, ss = p["soem_1"], st["soem_1"]
         oc1 = sp["BatchNorm_0"]["scale"].shape[0]
-        k6 = _fuse_s2d_kernel(sp["experts"]["kernel"])
-        kf = rfold_kernel_s2(k6, ks1)
-        pad = ks1 // 2
-        y = conv(x0, kf, strides=(1, 2),
-                 padding=((pad, pad), (2 * pad, 2 * pad))) \
-            + sp["experts"]["bias"].astype(dt)
-        # GAP per (row phase pi, col phase pj, channel): pi lives on
-        # channels, pj on column parity
-        b2, h2, w2, c2 = x0.shape
-        m = x0.reshape(b2, h2, w2 // 2, 2, c2).mean(axis=(1, 2)).astype(dt)
-        pooled = m.reshape(b2, 2, 2, oc0).transpose(0, 2, 1, 3).reshape(
-            b2, 4 * oc0)
-        attn = attn_mlp(pooled, sp)
-        y = contract(y, attn, oc1)
-        x1 = _bn_silu(y, sp["BatchNorm_0"], ss["BatchNorm_0"],
-                      eps=1e-5, dtype=model.dtype)  # (B, S/4, S/4, oc1)
+        if dyconv and (x0.shape[2] // 2) % 8 == 0:
+            b2, h2, w2, c2 = x0.shape
+            x0s = x0.reshape(b2, h2, w2 // 2, 2 * c2)
+            x1 = dy_site(x0s, sp, ss, oc1,
+                         kperm=_swap_parity_perm(oc0))
+        else:
+            k6 = _fuse_s2d_kernel(sp["experts"]["kernel"])
+            kf = rfold_kernel_s2(k6, ks1)
+            pad = ks1 // 2
+            y = conv(x0, kf, strides=(1, 2),
+                     padding=((pad, pad), (2 * pad, 2 * pad))) \
+                + sp["experts"]["bias"].astype(dt)
+            # GAP per (row phase pi, col phase pj, channel): pi lives
+            # on channels, pj on column parity
+            b2, h2, w2, c2 = x0.shape
+            m = x0.reshape(b2, h2, w2 // 2, 2, c2).mean(
+                axis=(1, 2)).astype(dt)
+            pooled = m.reshape(b2, 2, 2, oc0).transpose(
+                0, 2, 1, 3).reshape(b2, 4 * oc0)
+            attn = attn_mlp(pooled, sp)
+            y = contract(y, attn, oc1)
+            x1 = _bn_silu(y, sp["BatchNorm_0"], ss["BatchNorm_0"],
+                          eps=1e-5, dtype=model.dtype)
+        # x1: (B, S/4, S/4, oc1)
 
-        # soem_2: stock fused path (already lane-dense)
+        # soem_2: stock fused path (already lane-dense) or the
+        # per-sample Pallas conv on the true s2d'd map
         sp, ss = p["soem_2"], st["soem_2"]
         oc2 = sp["BatchNorm_0"]["scale"].shape[0]
-        k6 = _fuse_s2d_kernel(sp["experts"]["kernel"])
-        pad = 2 * (ks2 // 2)
-        y = conv(x1, k6, strides=(2, 2), padding=((pad, pad), (pad, pad))) \
-            + sp["experts"]["bias"].astype(dt)
-        b2, h2, w2, _ = x1.shape
-        pooled = x1.reshape(b2, h2 // 2, 2, w2 // 2, 2, oc1).mean(
-            axis=(1, 3)).astype(dt).reshape(b2, 4 * oc1)
-        attn = attn_mlp(pooled, sp)
-        y = contract(y, attn, oc2)
-        x2 = _bn_silu(y, sp["BatchNorm_0"], ss["BatchNorm_0"],
-                      eps=1e-5, dtype=model.dtype)  # (B, S/8, S/8, oc2)
+        if dyconv and (x1.shape[2] // 2) % 8 == 0:
+            from ..models.dysoem_simfpn import space_to_depth
+            x2 = dy_site(space_to_depth(x1, 2), sp, ss, oc2)
+        else:
+            k6 = _fuse_s2d_kernel(sp["experts"]["kernel"])
+            pad = 2 * (ks2 // 2)
+            y = conv(x1, k6, strides=(2, 2),
+                     padding=((pad, pad), (pad, pad))) \
+                + sp["experts"]["bias"].astype(dt)
+            b2, h2, w2, _ = x1.shape
+            pooled = x1.reshape(b2, h2 // 2, 2, w2 // 2, 2, oc1).mean(
+                axis=(1, 3)).astype(dt).reshape(b2, 4 * oc1)
+            attn = attn_mlp(pooled, sp)
+            y = contract(y, attn, oc2)
+            x2 = _bn_silu(y, sp["BatchNorm_0"], ss["BatchNorm_0"],
+                          eps=1e-5, dtype=model.dtype)
+        # x2: (B, S/8, S/8, oc2)
 
         # neck (SimplifiedFPN) — level-0 path in the folded layout
         pn = p["neck"]
