@@ -93,8 +93,50 @@ def test_kernel_matches_xla_interpret(rng, shape, rs):
         rtol=0.02, atol=0.02)
 
 
+@pytest.mark.parametrize("shape,rs", [
+    ((2, 16, 16, 128, 64), 8),     # narrow Co: the soem_0 case
+    ((2, 8, 16, 128, 64), 8),      # single-strip (n_s == 1)
+    ((2, 32, 16, 128, 64), 8),     # 4 strips (interior windows)
+    ((1, 16, 8, 128, 128), 8),     # Co already lane-exact
+])
+def test_fold_out_matches_rfold_of_plain(rng, shape, rs):
+    """fold_out emits EXACTLY rfold(plain-mode output): the
+    parity-partitioned DMA + contiguous-slice dots reassociate nothing
+    (identical dot order per output row), so the comparison is bitwise."""
+    from uavdet_tpu.ops.fold_soem_neck import rfold
+
+    B, H, W, C, CO = shape
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32),
+                    jnp.bfloat16)
+    kmix = jnp.asarray(
+        rng.normal(size=(B, 9, C, CO)).astype(np.float32) * 0.1,
+        jnp.bfloat16)
+    mul = jnp.asarray(rng.uniform(0.5, 1.5, size=(CO,)), jnp.float32)
+    add = jnp.asarray(rng.normal(size=(B, CO)), jnp.float32)
+
+    folded = pallas_dyconv(x, kmix, mul, add, rs=rs, interpret=True,
+                           fold_out=True)
+    assert folded.shape == (B, H // 2, W, 2 * CO)
+    if CO % 128 == 0:   # plain mode needs lane-exact Co
+        plain = pallas_dyconv(x, kmix, mul, add, rs=rs, interpret=True)
+        np.testing.assert_array_equal(np.asarray(folded, np.float32),
+                                      np.asarray(rfold(plain),
+                                                 np.float32))
+    want = rfold(_xla_mixed(x, kmix, mul, add))
+    np.testing.assert_allclose(
+        np.asarray(folded, np.float32), np.asarray(want, np.float32),
+        rtol=0.02, atol=0.02)
+
+
 def test_kernel_rejects_bad_shapes(rng):
     x = jnp.zeros((1, 16, 16, 64), jnp.bfloat16)      # C not %128
     k = jnp.zeros((1, 9, 64, 128), jnp.bfloat16)
     with pytest.raises(AssertionError):
         pallas_dyconv(x, k, jnp.ones((128,)), jnp.zeros((1, 128)))
+    x = jnp.zeros((1, 16, 16, 128), jnp.bfloat16)     # Co=64 unfolded
+    k = jnp.zeros((1, 9, 128, 64), jnp.bfloat16)
+    with pytest.raises(AssertionError):
+        pallas_dyconv(x, k, jnp.ones((64,)), jnp.zeros((1, 64)))
+    with pytest.raises(AssertionError):                # odd rs + fold
+        pallas_dyconv(x, k, jnp.ones((64,)), jnp.zeros((1, 64)),
+                      rs=1, fold_out=True)

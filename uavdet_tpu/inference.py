@@ -398,11 +398,14 @@ def make_detector(model, hparams, input_size: int,
             # Measured 285.7 -> 270.3 ms forward at cfg3 (PERF.md r5).
             import os as _os
             from .ops.fold_soem_neck import fold_soem_neck_forward
+            # per-sample mixed-kernel Pallas SOEMs: DEFAULT ON for bf16
+            # models (auto-gated inside fold_soem_neck_forward) — cfg3
+            # 101.0 -> 140.8 fps measured end-to-end (PERF.md r5).
+            # UAVDET_SOEM_DYCONV=0 is the A/B opt-out.
+            dyc = _os.environ.get("UAVDET_SOEM_DYCONV", "")
             full_fwd = fold_soem_neck_forward(
                 model, pallas_stem_variables,
-                # per-sample mixed-kernel Pallas SOEMs: A/B gate until
-                # the end-to-end cfg3 number is in (PERF.md r5 rule)
-                dyconv=_os.environ.get("UAVDET_SOEM_DYCONV", "0") == "1")
+                dyconv=None if dyc == "" else dyc == "1")
         if full_fwd is None:
             from .models.dysoem_simfpn import fold_input_stem
             front = fold_input_stem(pallas_stem_variables,

@@ -196,16 +196,20 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         y5 = y.reshape(b, hh, ww, c // oc, oc)
         return jnp.einsum("bhwec,be->bhwc", y5, attn.astype(y.dtype))
 
+    ks0 = int(model.dy_kernel_size[0])
     ks1 = int(model.dy_kernel_size[1])
     ks2 = int(model.dy_kernel_size[2])
+    dyconv0 = dyconv and ks0 == 3
     dyconv = dyconv and ks1 == 3 and ks2 == 3
 
-    def dy_site(x_s2d, sp, ss, oc, kperm=None):
+    def dy_site(x_s2d, sp, ss, oc, kperm=None, fold_out=False):
         """soem via the per-sample mixed-kernel Pallas conv: the
         attention mixes the expert kernels in XLA (negligible FLOPs),
         the conv+BN+SiLU run in ops/pallas_dyconv. ``kperm`` reorders
         the kernel's input channels (and the GAP vector) when the data
-        layout's parity-block order differs from the stored s2d order."""
+        layout's parity-block order differs from the stored s2d order.
+        ``fold_out`` emits the row-folded output directly (the narrow-Co
+        variant — soem_0's Co=64 store would otherwise be 2x padded)."""
         from .pallas_dyconv import mixed_bias, mixed_kernel, pallas_dyconv
 
         k = jnp.asarray(sp["experts"]["kernel"], jnp.float32)
@@ -223,9 +227,11 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
             + mixed_bias(jnp.asarray(sp["experts"]["bias"],
                                      jnp.float32), attn, oc) * mul
         h = x_s2d.shape[1]
-        rs = max(r for r in (16, 8, 4, 2, 1) if h % r == 0)
+        steps = (16, 8, 4, 2) if fold_out else (16, 8, 4, 2, 1)
+        rs = max(r for r in steps if h % r == 0)
         return pallas_dyconv(x_s2d.astype(jnp.bfloat16), km, mul, add,
-                             rs=rs, interpret=dyconv_interpret)
+                             rs=rs, interpret=dyconv_interpret,
+                             fold_out=fold_out)
 
     def fn(x):
         f0 = front(x)                                # (B, S/2, S/2, 4·cs)
@@ -236,13 +242,21 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         # the contraction epilogue emits the ROW-FOLDED x0
         sp, ss = p["soem_0"], st["soem_0"]
         oc0 = sp["BatchNorm_0"]["scale"].shape[0]
-        attn = attn_mlp(jnp.mean(f0, (1, 2)), sp)
-        y = conv(f0, sp["experts"]["kernel"],
-                 padding=((1, 1), (1, 1))) \
-            + sp["experts"]["bias"].astype(dt)
-        y = contract(y, attn, oc0)
-        x0 = _bn_silu(rfold(y), sp["BatchNorm_0"], ss["BatchNorm_0"],
-                      eps=1e-5, tile=2, dtype=model.dtype)
+        if (dyconv0 and oc0 % 64 == 0 and f0.shape[3] % 128 == 0
+                and f0.shape[2] % 8 == 0 and f0.shape[1] % 2 == 0):
+            # per-sample mixed-kernel Pallas conv, ROW-FOLDED store
+            # (fold_out): E× fewer FLOPs, no E·Co expert map, and the
+            # narrow Co=64 never touches a 2x-padded lane tile
+            x0 = dy_site(f0, sp, ss, oc0, fold_out=True)
+        else:
+            attn = attn_mlp(jnp.mean(f0, (1, 2)), sp)
+            y = conv(f0, sp["experts"]["kernel"],
+                     padding=((1, 1), (1, 1))) \
+                + sp["experts"]["bias"].astype(dt)
+            y = contract(y, attn, oc0)
+            x0 = _bn_silu(rfold(y), sp["BatchNorm_0"],
+                          ss["BatchNorm_0"], eps=1e-5, tile=2,
+                          dtype=model.dtype)
         # x0: (B, S/4, S/2, 2·oc0) row-folded, lane-exact
 
         # soem_1: fused s2d experts conv on the row-folded input (zero

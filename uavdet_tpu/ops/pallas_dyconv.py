@@ -158,33 +158,200 @@ def _make_kernel(H, W, C, CO, RS):
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-        out = acc * mul_ref[0] + add_ref[0]
+        out = acc * mul_ref[0] + add_ref[0, 0]
         out = out * jax.nn.sigmoid(out)
         out_ref[0] = out.reshape(RS, W, CO).astype(jnp.bfloat16)
 
     return kern
 
 
-@partial(jax.jit, static_argnames=("rs", "interpret"))
+def _make_fold_kernel(H, W, C, CO, RS):
+    """ROW-FOLDED-output variant: out (1, RS/2, W, 2·CO) per strip with
+    out[i, j, CO·p + c] = conv[2i+p, j, c] (== ops.fold_soem_neck.rfold
+    of the unfolded result) — the narrow-Co form (2·CO lane-exact where
+    CO alone would 2x-pad the store).
+
+    Mosaic has no strided vector slices (stride-2 row views verify-fail),
+    so the parity split happens at the DMA: ``x`` arrives as the
+    (B, H/2, 2, W, C) reshape and EVEN input rows land on scratch rows
+    [0, RS/2] while ODD rows land on [RS/2+1, RS+1] (one folded-row halo
+    each: even needs E[i0..i0+RS/2], odd O[i0-1..i0+RS/2-1]). Every tap
+    of either output parity is then a CONTIGUOUS row slice:
+
+        out par 0, folded row i: rows 2i-1, 2i, 2i+1 = O[i-1], E[i], O[i]
+        out par 1:               rows 2i, 2i+1, 2i+2 = E[i], O[i], E[i+1]
+
+    Same total bytes per strip as the plain kernel ((RS+2)·W·C), same
+    double-buffered uniform-byte semaphore discipline (boundary strips
+    issue a 1-row dummy DMA; the pad rows are zeroed post-wait). The two
+    parities run as separate 9-dot accumulations sharing the tap rolls;
+    the dots' N=CO may still MXU-pad when CO < 128 — inherent to
+    per-sample kernels (no batching dimension is free to pack N)."""
+    H2, RS2 = H // 2, RS // 2
+    n_s = H2 // RS2
+
+    def kern(x_hbm, k_ref, mul_ref, add_ref, out_ref, win_ref, sem):
+        bi = pl.program_id(0)
+        si = pl.program_id(1)
+        n_b = pl.num_programs(0)
+        g = bi * n_s + si
+        slot = jax.lax.rem(g, 2)
+
+        def cp(src, dst, sem_):
+            pltpu.make_async_copy(src, dst, sem_).start()
+
+        def start(b_, s, dst):
+            """Every variant lands exactly (RS+2)·W·C elements."""
+            def x_e(r0, n):                   # even input rows
+                return x_hbm.at[b_, pl.ds(r0, n), 0]
+
+            def x_o(r0, n):                   # odd input rows
+                return x_hbm.at[b_, pl.ds(r0, n), 1]
+
+            def w_e(r0, n):
+                return win_ref.at[dst, pl.ds(r0, n)]
+
+            def w_o(r0, n):
+                return win_ref.at[dst, pl.ds(RS2 + 1 + r0, n)]
+
+            sm = sem.at[dst]
+            if n_s == 1:
+                cp(x_e(0, RS2), w_e(0, RS2), sm)
+                cp(x_e(0, 1), w_e(RS2, 1), sm)                # dummy
+                cp(x_o(0, 1), w_o(0, 1), sm)                  # dummy
+                cp(x_o(0, RS2), w_o(1, RS2), sm)
+                return
+
+            @pl.when(s == 0)
+            def _():
+                cp(x_e(0, RS2 + 1), w_e(0, RS2 + 1), sm)
+                cp(x_o(0, 1), w_o(0, 1), sm)                  # dummy
+                cp(x_o(0, RS2), w_o(1, RS2), sm)
+
+            @pl.when(s == n_s - 1)
+            def _():
+                i0 = (n_s - 1) * RS2
+                cp(x_e(i0, RS2), w_e(0, RS2), sm)
+                cp(x_e(H2 - 1, 1), w_e(RS2, 1), sm)           # dummy
+                cp(x_o(i0 - 1, RS2 + 1), w_o(0, RS2 + 1), sm)
+
+            @pl.when((s > 0) & (s < n_s - 1))
+            def _():
+                cp(x_e(s * RS2, RS2 + 1), w_e(0, RS2 + 1), sm)
+                cp(x_o(s * RS2 - 1, RS2 + 1), w_o(0, RS2 + 1), sm)
+
+        def wait(dst):
+            # uniform-byte wait: (RS2+1)·2·W·C == (RS+2)·W·C elements
+            pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(0, RS2 + 1)],
+                win_ref.at[dst], sem.at[dst]).wait()
+
+        @pl.when(g == 0)
+        def _():
+            start(bi, 0, 0)
+
+        wait(slot)
+
+        @pl.when(si + 1 < n_s)
+        def _():
+            start(bi, si + 1, 1 - slot)
+
+        @pl.when((si + 1 == n_s) & (bi + 1 < n_b))
+        def _():
+            start(bi + 1, 0, 1 - slot)
+
+        # zero the pad rows: O[-1] on the first strip (scratch row
+        # RS2+1), E[H2] on the last (scratch row RS2); dummy DMAs above
+        # made the byte counts uniform, these rows are conv SAME padding
+        zrow = jnp.zeros((1, W, C), jnp.bfloat16)
+
+        @pl.when(si == 0)
+        def _():
+            win_ref[slot, RS2 + 1:RS2 + 2] = zrow
+
+        @pl.when(si == n_s - 1)
+        def _():
+            win_ref[slot, RS2:RS2 + 1] = zrow
+
+        win = win_ref[slot]                   # (RS+2, W, C) bf16
+        # column taps: rolls are along W only — the two parity blocks
+        # stay independent (rows never mix)
+        col = jax.lax.broadcasted_iota(jnp.int32, (RS + 2, W, C), 1)
+        wf = win.astype(jnp.float32)
+        left = jnp.where(col != 0, pltpu.roll(wf, 1, 1),
+                         0.0).astype(jnp.bfloat16)
+        right = jnp.where(col != W - 1, pltpu.roll(wf, W - 1, 1),
+                          0.0).astype(jnp.bfloat16)
+        taps = (left, win, right)
+
+        # contiguous scratch-row starts per (parity, dy) — see module
+        # comment for the derivation
+        starts = ((RS2 + 1, 0, RS2 + 2), (0, RS2 + 2, 1))
+        accs = [jnp.zeros((RS2 * W, CO), jnp.float32) for _ in range(2)]
+        for dy in range(3):
+            for dx in range(3):
+                k_tap = k_ref[0, 3 * dy + dx]
+                for par in range(2):
+                    r0 = starts[par][dy]
+                    t = taps[dx][r0:r0 + RS2].reshape(RS2 * W, C)
+                    accs[par] = accs[par] + jax.lax.dot_general(
+                        t, k_tap,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        outs = []
+        for par in range(2):
+            o = accs[par] * mul_ref[0] + add_ref[0, 0]
+            o = o * jax.nn.sigmoid(o)
+            outs.append(o.reshape(RS2, W, CO))
+        out_ref[0] = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+
+    return kern
+
+
+@partial(jax.jit, static_argnames=("rs", "interpret", "fold_out"))
 def pallas_dyconv(x, kmix, mul, add, rs: int = 16,
-                  interpret: bool = False):
+                  interpret: bool = False, fold_out: bool = False):
     """Per-sample-kernel 3x3 SAME conv + affine + SiLU (module doc).
 
     x (B, H, W, C) bf16 · kmix (B, 9, C, Co) bf16 · mul (Co,) f32 ·
     add (B, Co) f32 → (B, H, W, Co) bf16.  Constraints: C and Co
     multiples of 128, W a multiple of 8, H a multiple of ``rs``.
+
+    ``fold_out=True`` emits the ROW-FOLDED output (B, H/2, W, 2·Co)
+    (== ``ops.fold_soem_neck.rfold`` of the unfolded result) and only
+    needs Co a multiple of 64 with 2·Co lane-exact — the narrow-Co
+    variant for sites like DySOEM soem_0 (Co=64) whose unfolded store
+    would be 2x lane-padded. ``rs`` must be even.
     """
     b, h, w, c = x.shape
     co = kmix.shape[-1]
     assert kmix.shape == (b, 9, c, co), kmix.shape
     assert add.shape == (b, co), add.shape
-    assert c % 128 == 0 and co % 128 == 0, (c, co)
+    assert c % 128 == 0, c
+    assert (2 * co if fold_out else co) % 128 == 0, (co, fold_out)
     assert w % 8 == 0, w
     rs = min(rs, h)
     assert h % rs == 0, (h, rs)
+    assert not (fold_out and rs % 2), rs
 
     grid = (b, h // rs)
-    kern = _make_kernel(h, w, c, co, rs)
+    if fold_out:
+        # parity-partitioned DMA source (see _make_fold_kernel)
+        x = x.reshape(b, h // 2, 2, w, c)
+        kern = _make_fold_kernel(h, w, c, co, rs)
+    else:
+        kern = _make_kernel(h, w, c, co, rs)
+    if fold_out:
+        out_spec = pl.BlockSpec((1, rs // 2, w, 2 * co),
+                                lambda bi, si: (bi, si, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h // 2, w, 2 * co),
+                                         jnp.bfloat16)
+    else:
+        out_spec = pl.BlockSpec((1, rs, w, co),
+                                lambda bi, si: (bi, si, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h, w, co), jnp.bfloat16)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -194,13 +361,13 @@ def pallas_dyconv(x, kmix, mul, add, rs: int = 16,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda bi, si: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda bi, si: (bi, 0),
+            # (B, 1, co): a (1, 1, co) block's minor dims EQUAL the
+            # array's -> satisfies the (8, 128) tiling rule at any B
+            pl.BlockSpec((1, 1, co), lambda bi, si: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rs, w, co),
-                               lambda bi, si: (bi, si, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, co), jnp.bfloat16),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, rs + 2, w, c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
@@ -214,7 +381,7 @@ def pallas_dyconv(x, kmix, mul, add, rs: int = 16,
             transcendentals=b * h * w * co),
         interpret=interpret,
     )(x, kmix, jnp.asarray(mul, jnp.float32).reshape(1, co),
-      jnp.asarray(add, jnp.float32))
+      jnp.asarray(add, jnp.float32).reshape(b, 1, co))
 
 
 def mixed_kernel(stacked_kernel, attn, co):
