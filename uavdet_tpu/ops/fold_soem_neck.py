@@ -132,7 +132,8 @@ def _fuse_s2d_kernel(k, kk=2):
 
 
 def fold_soem_neck_forward(model, variables, dyconv: bool = None,
-                           dyconv_interpret: bool = False):
+                           dyconv_interpret: bool = False,
+                           stop_after: str = None):
     """Build the complete row-folded DySOEM_SimFPN inference forward.
 
     -> ``fn(x) -> List[DetectionResults]`` equal to
@@ -237,6 +238,8 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         f0 = front(x)                                # (B, S/2, S/2, 4·cs)
         if f0.shape[1] % 2 or f0.shape[2] % 2:
             raise ValueError("fold_soem_neck needs input_size % 4 == 0")
+        if stop_after == "front":                    # audit prefixes
+            return f0
 
         # soem_0 (consumes the s2d'd map the front emits; skip_s2d) —
         # the contraction epilogue emits the ROW-FOLDED x0
@@ -258,6 +261,8 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
                           ss["BatchNorm_0"], eps=1e-5, tile=2,
                           dtype=model.dtype)
         # x0: (B, S/4, S/2, 2·oc0) row-folded, lane-exact
+        if stop_after == "soem_0":
+            return x0
 
         # soem_1: fused s2d experts conv on the row-folded input (zero
         # FLOP overhead), or the per-sample mixed-kernel Pallas conv
@@ -290,6 +295,8 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
             x1 = _bn_silu(y, sp["BatchNorm_0"], ss["BatchNorm_0"],
                           eps=1e-5, dtype=model.dtype)
         # x1: (B, S/4, S/4, oc1)
+        if stop_after == "soem_1":
+            return x1
 
         # soem_2: stock fused path (already lane-dense) or the
         # per-sample Pallas conv on the true s2d'd map
@@ -312,6 +319,8 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
             x2 = _bn_silu(y, sp["BatchNorm_0"], ss["BatchNorm_0"],
                           eps=1e-5, dtype=model.dtype)
         # x2: (B, S/8, S/8, oc2)
+        if stop_after == "soem_2":
+            return x2
 
         # neck (SimplifiedFPN) — level-0 path in the folded layout
         pn = p["neck"]
@@ -330,6 +339,8 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         # fold(up2(cd)) = column-repeat + channel-tile (row-repeat is
         # the parity split itself)
         x0 = x0 + jnp.tile(jnp.repeat(cd, 2, axis=2), (1, 1, 1, 2))
+        if stop_after == "fpn_x0":
+            return x0
         # 1x1 stride-2 = parity block 0, column stride 2
         x1n = center + conv(x0[..., :oc0], pn["x0_out_up"]["kernel"],
                             strides=(1, 2), padding=((0, 0), (0, 0))) \
@@ -348,9 +359,14 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         x0c = conv_out(x0, "x0_conv_out", True)
         x1c = conv_out(x1n, "x1_conv_out", False)
         x2c = conv_out(x2, "x2_conv_out", False)
+        if stop_after == "conv_out":
+            return x0c, x1c, x2c              # all three: no DCE
 
         # head: level-0 1x1s block-diagonal on the folded map; only the
-        # SMALL outputs unfold -> decode order bit-identical to stock
+        # SMALL outputs unfold -> decode order bit-identical to stock.
+        # (A fused obj+bbox single conv per level was A/B'd r5 and LOST
+        # -5 ms end-to-end: the 15-ch fused output's relayouts cost more
+        # than the halved head-input read saved — probe table, PERF.md.)
         ph = p["yolo_head"]
         outs: List[DetectionResults] = []
         for i, f in enumerate((x0c, x1c, x2c)):
