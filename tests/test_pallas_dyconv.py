@@ -128,6 +128,44 @@ def test_fold_out_matches_rfold_of_plain(rng, shape, rs):
         rtol=0.02, atol=0.02)
 
 
+@pytest.mark.parametrize("co,fold,h,rs", [
+    (64, True, 8, 4),      # soem_0 shape class
+    (128, False, 16, 8),   # soem_1 shape class
+    (128, True, 16, 8),
+])
+def test_emit_gap_sums(rng, co, fold, h, rs):
+    """emit_gap returns per-strip parity-split channel sums of the
+    STORED output (summed over strips == the downstream consumer's GAP
+    numerator), and the primary output is bitwise-unchanged."""
+    B, W, C = 2, 16, 128
+    x = jnp.asarray(rng.normal(size=(B, h, W, C)).astype(np.float32),
+                    jnp.bfloat16)
+    kmix = jnp.asarray(
+        rng.normal(size=(B, 9, C, co)).astype(np.float32) * 0.1,
+        jnp.bfloat16)
+    mul = jnp.ones((co,), jnp.float32)
+    add = jnp.zeros((B, co), jnp.float32)
+    ref = pallas_dyconv(x, kmix, mul, add, rs=rs, interpret=True,
+                        fold_out=fold)
+    out, gap = pallas_dyconv(x, kmix, mul, add, rs=rs, interpret=True,
+                             fold_out=fold, emit_gap=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    g = np.asarray(gap.sum(axis=1))
+    of = np.asarray(ref, np.float32)
+    if fold:
+        # (col parity, folded channel)
+        want = np.stack([of[:, :, 0::2].sum((1, 2)),
+                         of[:, :, 1::2].sum((1, 2))], axis=1)
+    else:
+        # (row parity, col parity · Co + c)
+        want = np.stack(
+            [np.concatenate([of[:, p::2, q::2].sum((1, 2))
+                             for q in (0, 1)], axis=-1)
+             for p in (0, 1)], axis=1)
+    np.testing.assert_allclose(g, want.reshape(g.shape),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_kernel_rejects_bad_shapes(rng):
     x = jnp.zeros((1, 16, 16, 64), jnp.bfloat16)      # C not %128
     k = jnp.zeros((1, 9, 64, 128), jnp.bfloat16)

@@ -203,18 +203,24 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
     dyconv0 = dyconv and ks0 == 3
     dyconv = dyconv and ks1 == 3 and ks2 == 3
 
-    def dy_site(x_s2d, sp, ss, oc, kperm=None, fold_out=False):
+    def dy_site(x_s2d, sp, ss, oc, kperm=None, fold_out=False,
+                pooled=None, emit_gap=False):
         """soem via the per-sample mixed-kernel Pallas conv: the
         attention mixes the expert kernels in XLA (negligible FLOPs),
         the conv+BN+SiLU run in ops/pallas_dyconv. ``kperm`` reorders
         the kernel's input channels (and the GAP vector) when the data
         layout's parity-block order differs from the stored s2d order.
         ``fold_out`` emits the row-folded output directly (the narrow-Co
-        variant — soem_0's Co=64 store would otherwise be 2x padded)."""
+        variant — soem_0's Co=64 store would otherwise be 2x padded).
+        ``pooled`` supplies the GAP vector (data order, pre-kperm) —
+        sourced from the PRODUCER kernel's ``emit_gap`` sums so the big
+        map is never re-read; ``emit_gap`` asks this site's kernel to
+        emit the sums the NEXT site's GAP needs."""
         from .pallas_dyconv import mixed_bias, mixed_kernel, pallas_dyconv
 
         k = jnp.asarray(sp["experts"]["kernel"], jnp.float32)
-        pooled = jnp.mean(x_s2d, (1, 2)).astype(dt)
+        if pooled is None:
+            pooled = jnp.mean(x_s2d, (1, 2)).astype(dt)
         if kperm is not None:
             k = k[:, :, kperm, :]
             pooled = pooled[:, kperm]
@@ -228,11 +234,12 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
             + mixed_bias(jnp.asarray(sp["experts"]["bias"],
                                      jnp.float32), attn, oc) * mul
         h = x_s2d.shape[1]
-        steps = (16, 8, 4, 2) if fold_out else (16, 8, 4, 2, 1)
+        steps = (16, 8, 4, 2) if (fold_out or emit_gap) \
+            else (16, 8, 4, 2, 1)
         rs = max(r for r in steps if h % r == 0)
         return pallas_dyconv(x_s2d.astype(jnp.bfloat16), km, mul, add,
                              rs=rs, interpret=dyconv_interpret,
-                             fold_out=fold_out)
+                             fold_out=fold_out, emit_gap=emit_gap)
 
     def fn(x):
         f0 = front(x)                                # (B, S/2, S/2, 4·cs)
@@ -245,12 +252,21 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         # the contraction epilogue emits the ROW-FOLDED x0
         sp, ss = p["soem_0"], st["soem_0"]
         oc0 = sp["BatchNorm_0"]["scale"].shape[0]
-        if (dyconv0 and oc0 % 64 == 0 and f0.shape[3] % 128 == 0
-                and f0.shape[2] % 8 == 0 and f0.shape[1] % 2 == 0):
+        # will the next sites run their dyconv kernels? (drives whose
+        # kernel emits the downstream GAP sums)
+        bq, hq, wq, cq = f0.shape
+        dy1 = (dyconv and (wq // 2) % 8 == 0 and (4 * oc0) % 128 == 0
+               and (hq // 2) % 2 == 0)
+        gap0 = gap1 = None
+        if (dyconv0 and oc0 % 64 == 0 and cq % 128 == 0
+                and wq % 8 == 0 and hq % 2 == 0):
             # per-sample mixed-kernel Pallas conv, ROW-FOLDED store
             # (fold_out): E× fewer FLOPs, no E·Co expert map, and the
-            # narrow Co=64 never touches a 2x-padded lane tile
-            x0 = dy_site(f0, sp, ss, oc0, fold_out=True)
+            # narrow Co=64 never touches a 2x-padded lane tile.
+            # emit_gap: soem_1's GAP sums ride out of this kernel —
+            # the 1.67 GB x0 is never re-read for pooling.
+            out = dy_site(f0, sp, ss, oc0, fold_out=True, emit_gap=dy1)
+            x0, gap0 = out if dy1 else (out, None)
         else:
             attn = attn_mlp(jnp.mean(f0, (1, 2)), sp)
             y = conv(f0, sp["experts"]["kernel"],
@@ -274,8 +290,17 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         if dyconv and (x0.shape[2] // 2) % 8 == 0:
             b2, h2, w2, c2 = x0.shape
             x0s = x0.reshape(b2, h2, w2 // 2, 2 * c2)
-            x1 = dy_site(x0s, sp, ss, oc1,
-                         kperm=_swap_parity_perm(oc0))
+            dy2 = (dyconv and ((w2 // 2) // 2) % 8 == 0
+                   and (4 * oc1) % 128 == 0 and (h2 // 2) % 2 == 0
+                   and h2 % 2 == 0 and (w2 // 2) % 2 == 0)
+            pooled = None
+            if gap0 is not None:
+                pooled = (gap0.sum(axis=1).reshape(b2, 4 * oc0)
+                          / (h2 * (w2 // 2))).astype(dt)
+            out = dy_site(x0s, sp, ss, oc1,
+                          kperm=_swap_parity_perm(oc0),
+                          pooled=pooled, emit_gap=dy2)
+            x1, gap1 = out if dy2 else (out, None)
         else:
             k6 = _fuse_s2d_kernel(sp["experts"]["kernel"])
             kf = rfold_kernel_s2(k6, ks1)
@@ -304,7 +329,13 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         oc2 = sp["BatchNorm_0"]["scale"].shape[0]
         if dyconv and (x1.shape[2] // 2) % 8 == 0:
             from ..models.dysoem_simfpn import space_to_depth
-            x2 = dy_site(space_to_depth(x1, 2), sp, ss, oc2)
+            pooled = None
+            if gap1 is not None:
+                b2, h1, w1, _ = x1.shape
+                pooled = (gap1.sum(axis=1).reshape(b2, 4 * oc1)
+                          / ((h1 // 2) * (w1 // 2))).astype(dt)
+            x2 = dy_site(space_to_depth(x1, 2), sp, ss, oc2,
+                         pooled=pooled)
         else:
             k6 = _fuse_s2d_kernel(sp["experts"]["kernel"])
             pad = 2 * (ks2 // 2)

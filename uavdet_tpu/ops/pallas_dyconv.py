@@ -51,10 +51,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(H, W, C, CO, RS):
+def _make_kernel(H, W, C, CO, RS, emit_gap=False):
     n_s = H // RS
 
-    def kern(x_hbm, k_ref, mul_ref, add_ref, out_ref, win_ref, sem):
+    def kern(x_hbm, k_ref, mul_ref, add_ref, out_ref, *rest):
+        if emit_gap:
+            gap_ref, win_ref, sem = rest
+        else:
+            win_ref, sem = rest
         bi = pl.program_id(0)
         si = pl.program_id(1)
         n_b = pl.num_programs(0)
@@ -160,12 +164,30 @@ def _make_kernel(H, W, C, CO, RS):
 
         out = acc * mul_ref[0] + add_ref[0, 0]
         out = out * jax.nn.sigmoid(out)
-        out_ref[0] = out.reshape(RS, W, CO).astype(jnp.bfloat16)
+        ob = out.reshape(RS, W, CO).astype(jnp.bfloat16)
+        out_ref[0] = ob
+        if emit_gap:
+            # per-strip (row parity, col parity, channel) sums of the
+            # STORED (bf16-rounded) output — a downstream space_to_depth
+            # consumer's GAP without re-reading the map from HBM.
+            # gap[0, 0, rp, cp·CO + c] = Σ ob[2i+rp, 2j+cp, c]
+            of = ob.astype(jnp.float32)
+            colp = jax.lax.broadcasted_iota(
+                jnp.int32, (RS // 2, W, CO), 1) % 2
+            # per-slot 2-D stores (Mosaic has no 1-D vector concat)
+            for rp in range(2):
+                # row split via major-dim reshape (free), rows 2i+rp
+                half = of.reshape(RS // 2, 2, W, CO)[:, rp]
+                for cp2 in range(2):
+                    s = jnp.where(colp == cp2, half, 0.0).sum(
+                        axis=(0, 1)).reshape(1, CO)
+                    gap_ref[0, 0, rp:rp + 1,
+                            cp2 * CO:(cp2 + 1) * CO] = s
 
     return kern
 
 
-def _make_fold_kernel(H, W, C, CO, RS):
+def _make_fold_kernel(H, W, C, CO, RS, emit_gap=False):
     """ROW-FOLDED-output variant: out (1, RS/2, W, 2·CO) per strip with
     out[i, j, CO·p + c] = conv[2i+p, j, c] (== ops.fold_soem_neck.rfold
     of the unfolded result) — the narrow-Co form (2·CO lane-exact where
@@ -190,7 +212,11 @@ def _make_fold_kernel(H, W, C, CO, RS):
     H2, RS2 = H // 2, RS // 2
     n_s = H2 // RS2
 
-    def kern(x_hbm, k_ref, mul_ref, add_ref, out_ref, win_ref, sem):
+    def kern(x_hbm, k_ref, mul_ref, add_ref, out_ref, *rest):
+        if emit_gap:
+            gap_ref, win_ref, sem = rest
+        else:
+            win_ref, sem = rest
         bi = pl.program_id(0)
         si = pl.program_id(1)
         n_b = pl.num_programs(0)
@@ -303,14 +329,30 @@ def _make_fold_kernel(H, W, C, CO, RS):
             o = accs[par] * mul_ref[0] + add_ref[0, 0]
             o = o * jax.nn.sigmoid(o)
             outs.append(o.reshape(RS2, W, CO))
-        out_ref[0] = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+        ob = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+        out_ref[0] = ob
+        if emit_gap:
+            # per-strip (col parity, folded channel) sums of the STORED
+            # (bf16-rounded) folded output — the downstream column-fold
+            # consumer's GAP without re-reading the map from HBM.
+            # gap[0, 0, cp, fc] = sum_{i, j} ob[i, 2j+cp, fc]
+            of = ob.astype(jnp.float32)
+            colp = jax.lax.broadcasted_iota(
+                jnp.int32, (RS2, W, 2 * CO), 1) % 2
+            # per-slot 2-D stores (Mosaic has no 1-D vector concat)
+            for cp2 in range(2):
+                s = jnp.where(colp == cp2, of, 0.0).sum(
+                    axis=(0, 1)).reshape(1, 2 * CO)
+                gap_ref[0, 0, cp2:cp2 + 1, :] = s
 
     return kern
 
 
-@partial(jax.jit, static_argnames=("rs", "interpret", "fold_out"))
+@partial(jax.jit, static_argnames=("rs", "interpret", "fold_out",
+                                   "emit_gap"))
 def pallas_dyconv(x, kmix, mul, add, rs: int = 16,
-                  interpret: bool = False, fold_out: bool = False):
+                  interpret: bool = False, fold_out: bool = False,
+                  emit_gap: bool = False):
     """Per-sample-kernel 3x3 SAME conv + affine + SiLU (module doc).
 
     x (B, H, W, C) bf16 · kmix (B, 9, C, Co) bf16 · mul (Co,) f32 ·
@@ -322,6 +364,16 @@ def pallas_dyconv(x, kmix, mul, add, rs: int = 16,
     needs Co a multiple of 64 with 2·Co lane-exact — the narrow-Co
     variant for sites like DySOEM soem_0 (Co=64) whose unfolded store
     would be 2x lane-padded. ``rs`` must be even.
+
+    ``emit_gap=True`` additionally returns per-strip parity-split
+    channel sums of the STORED output — (B, H/rs, 2, 2·Co) f32 — so a
+    downstream space-to-depth/column-fold consumer's GAP never re-reads
+    this map from HBM (sum over axis 1, divide by the pixel count):
+    * plain mode: ``gap[b, s, rp, cp·Co + c] = Σ out[b, 2i+rp, 2j+cp, c]``
+      (the s2d consumer's (row parity, col parity, channel) order);
+    * fold mode:  ``gap[b, s, cp, fc] = Σ out[b, i, 2j+cp, fc]``
+      (the column-fold consumer's (col parity, folded channel) order).
+    Requires rs even (plain mode needs row pairs inside a strip).
     """
     b, h, w, c = x.shape
     co = kmix.shape[-1]
@@ -332,15 +384,16 @@ def pallas_dyconv(x, kmix, mul, add, rs: int = 16,
     assert w % 8 == 0, w
     rs = min(rs, h)
     assert h % rs == 0, (h, rs)
-    assert not (fold_out and rs % 2), rs
+    assert not ((fold_out or emit_gap) and rs % 2), rs
+    assert not (emit_gap and w % 2), w
 
     grid = (b, h // rs)
     if fold_out:
         # parity-partitioned DMA source (see _make_fold_kernel)
         x = x.reshape(b, h // 2, 2, w, c)
-        kern = _make_fold_kernel(h, w, c, co, rs)
+        kern = _make_fold_kernel(h, w, c, co, rs, emit_gap=emit_gap)
     else:
-        kern = _make_kernel(h, w, c, co, rs)
+        kern = _make_kernel(h, w, c, co, rs, emit_gap=emit_gap)
     if fold_out:
         out_spec = pl.BlockSpec((1, rs // 2, w, 2 * co),
                                 lambda bi, si: (bi, si, 0, 0),
@@ -352,6 +405,15 @@ def pallas_dyconv(x, kmix, mul, add, rs: int = 16,
                                 lambda bi, si: (bi, si, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, h, w, co), jnp.bfloat16)
+    out_specs, out_shapes = out_spec, out_shape
+    if emit_gap:
+        out_specs = [out_spec,
+                     pl.BlockSpec((1, 1, 2, 2 * co),
+                                  lambda bi, si: (bi, si, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [out_shape,
+                      jax.ShapeDtypeStruct((b, h // rs, 2, 2 * co),
+                                           jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -366,8 +428,8 @@ def pallas_dyconv(x, kmix, mul, add, rs: int = 16,
             pl.BlockSpec((1, 1, co), lambda bi, si: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=out_spec,
-        out_shape=out_shape,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((2, rs + 2, w, c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
