@@ -372,7 +372,11 @@ def fold_soem_neck_forward(model, variables, dyconv: bool = None,
         x0 = x0 + jnp.tile(jnp.repeat(cd, 2, axis=2), (1, 1, 1, 2))
         if stop_after == "fpn_x0":
             return x0
-        # 1x1 stride-2 = parity block 0, column stride 2
+        # 1x1 stride-2 = parity block 0, column stride 2. (The
+        # zero-padded-kernel alternative — conv the FULL folded map
+        # with a (1,1,2·oc0,co) kernel whose odd-parity block is zero,
+        # avoiding the lane slice — was A/B'd r5: 142.3 vs 142.7 fps,
+        # neutral-to-worse; the lane slice stays.)
         x1n = center + conv(x0[..., :oc0], pn["x0_out_up"]["kernel"],
                             strides=(1, 2), padding=((0, 0), (0, 0))) \
             + pn["x0_out_up"]["bias"].astype(dt)
